@@ -1,0 +1,276 @@
+"""NHWC JAX blocks vs independent torch NCHW oracles, eval mode, transplanted
+weights. Verifies conv/BN/pad/group semantics, the FasterNet PConv split, the
+CoordAtt pooling geometry, and the fused RFA tap-contraction equivalence."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import torch
+
+import torch_oracles as TO
+from leadyolo_tpu import nn as lnn
+
+TOL = dict(rtol=2e-4, atol=2e-4)
+
+
+def nchw(x_np):
+    return torch.tensor(x_np.transpose(0, 3, 1, 2))
+
+
+def run_torch(m, x_np):
+    m.eval()
+    with torch.no_grad():
+        return m(nchw(x_np)).numpy().transpose(0, 2, 3, 1)
+
+
+def run_jax(mod, variables, x_np):
+    y = mod.apply(variables, jnp.asarray(x_np), train=False)
+    return np.asarray(y)
+
+
+def rand_input(rng, b=2, h=16, w=16, c=8):
+    return rng.standard_normal((b, h, w, c), dtype=np.float32)
+
+
+def test_conv_block(rng):
+    t = TO.TConv(8, 16, 3, 2)
+    p, s = TO.tconv_params(t, rng)
+    x = rand_input(rng)
+    got = run_jax(lnn.Conv(16, 3, 2), {"params": p, "batch_stats": s}, x)
+    np.testing.assert_allclose(got, run_torch(t, x), **TOL)
+
+
+def test_conv_block_dilated_group(rng):
+    t = TO.TConv(8, 8, 3, 1, g=4, d=2)
+    p, s = TO.tconv_params(t, rng)
+    x = rand_input(rng)
+    got = run_jax(lnn.Conv(8, 3, 1, g=4, d=2), {"params": p, "batch_stats": s}, x)
+    np.testing.assert_allclose(got, run_torch(t, x), **TOL)
+
+
+def _nest(pairs):
+    params, stats = {}, {}
+    for name, (p, s) in pairs.items():
+        params[name] = p
+        if s:
+            stats[name] = s
+    return {"params": params, "batch_stats": stats}
+
+
+def test_bottleneck(rng):
+    t = TO.TBottleneck(8, 8)
+    v = _nest({"cv1": TO.tconv_params(t.cv1, rng), "cv2": TO.tconv_params(t.cv2, rng)})
+    x = rand_input(rng)
+    got = run_jax(lnn.Bottleneck(8), v, x)
+    np.testing.assert_allclose(got, run_torch(t, x), **TOL)
+
+
+def _c3_variables(t, rng):
+    pairs = {"cv1": TO.tconv_params(t.cv1, rng), "cv2": TO.tconv_params(t.cv2, rng), "cv3": TO.tconv_params(t.cv3, rng)}
+    for i, b in enumerate(t.m):
+        pairs[f"m_{i}"] = (
+            _nest({"cv1": TO.tconv_params(b.cv1, rng), "cv2": TO.tconv_params(b.cv2, rng)})["params"],
+            _nest({"cv1": TO.tconv_params(b.cv1), "cv2": TO.tconv_params(b.cv2)})["batch_stats"],
+        )
+    return pairs
+
+
+def test_c3(rng):
+    t = TO.TC3(8, 16, n=2)
+    # randomize all BNs first, then extract once
+    for m in t.modules():
+        if isinstance(m, torch.nn.BatchNorm2d):
+            TO.randomize_bn(m, rng)
+    pairs = {"cv1": TO.tconv_params(t.cv1), "cv2": TO.tconv_params(t.cv2), "cv3": TO.tconv_params(t.cv3)}
+    for i, b in enumerate(t.m):
+        sub = _nest({"cv1": TO.tconv_params(b.cv1), "cv2": TO.tconv_params(b.cv2)})
+        pairs[f"m_{i}"] = (sub["params"], sub["batch_stats"])
+    x = rand_input(rng)
+    got = run_jax(lnn.C3(16, n=2), _nest(pairs), x)
+    np.testing.assert_allclose(got, run_torch(t, x), **TOL)
+
+
+def test_sppf(rng):
+    t = TO.TSPPF(8, 16)
+    v = _nest({"cv1": TO.tconv_params(t.cv1, rng), "cv2": TO.tconv_params(t.cv2, rng)})
+    x = rand_input(rng)
+    got = run_jax(lnn.SPPF(16), v, x)
+    np.testing.assert_allclose(got, run_torch(t, x), **TOL)
+
+
+def test_focus(rng):
+    t = TO.TFocus(8, 16)
+    v = _nest({"conv": (_nest({"conv": TO.tconv_params(t.conv, rng)})["params"]["conv"],
+                        _nest({"conv": TO.tconv_params(t.conv)})["batch_stats"]["conv"])})
+    x = rand_input(rng)
+    got = run_jax(lnn.Focus(16), v, x)
+    np.testing.assert_allclose(got, run_torch(t, x), **TOL)
+
+
+def test_fasternet_mlpblock(rng):
+    t = TO.TMLPBlock(8)
+    TO.randomize_bn(t.mlp[1], rng)
+    bp, bs = TO.bn_params(t.mlp[1])
+    v = {
+        "params": {
+            "spatial_mixing": {"partial_conv3": {"kernel": TO.conv_w(t.sm.conv.weight)}},
+            "mlp_0": {"kernel": TO.conv_w(t.mlp[0].weight)},
+            "mlp_1": bp,
+            "mlp_3": {"kernel": TO.conv_w(t.mlp[3].weight)},
+        },
+        "batch_stats": {"mlp_1": bs},
+    }
+    x = rand_input(rng)
+    got = run_jax(lnn.MLPBlock(8), v, x)
+    np.testing.assert_allclose(got, run_torch(t, x), **TOL)
+
+
+def test_patch_embed(rng):
+    t = TO.TPatchEmbed(3, 24)
+    TO.randomize_bn(t.norm, rng)
+    bp, bs = TO.bn_params(t.norm)
+    v = {"params": {"proj": {"kernel": TO.conv_w(t.proj.weight)}, "norm": bp}, "batch_stats": {"norm": bs}}
+    x = rand_input(rng, 2, 32, 32, 3)
+    got = run_jax(lnn.PatchEmbedFasterNet(24, 4, 4), v, x)
+    np.testing.assert_allclose(got, run_torch(t, x), **TOL)
+
+
+def _coordatt_variables(t, rng):
+    TO.randomize_bn(t.bn1, rng)
+    bp, bs = TO.bn_params(t.bn1)
+    p = {
+        "conv1": {"kernel": TO.conv_w(t.conv1.weight), "bias": t.conv1.bias.detach().numpy()},
+        "bn1": bp,
+        "conv_h": {"kernel": TO.conv_w(t.conv_h.weight), "bias": t.conv_h.bias.detach().numpy()},
+        "conv_w": {"kernel": TO.conv_w(t.conv_w.weight), "bias": t.conv_w.bias.detach().numpy()},
+    }
+    return p, {"bn1": bs}
+
+
+def test_coordatt(rng):
+    t = TO.TCoordAtt(16, 16)
+    p, s = _coordatt_variables(t, rng)
+    x = rand_input(rng, 2, 12, 10, 16)
+    got = run_jax(lnn.CoordAtt(16), {"params": p, "batch_stats": s}, x)
+    np.testing.assert_allclose(got, run_torch(t, x), **TOL)
+
+
+def test_c3_ca(rng):
+    t = TO.TC3CA(16, 16, n=1)
+    for m in t.modules():
+        if isinstance(m, torch.nn.BatchNorm2d):
+            TO.randomize_bn(m, rng)
+    b = t.m[0]
+    cap, cas = _coordatt_variables(b.ca, np.random.default_rng(99))
+    sub = _nest({"cv1": TO.tconv_params(b.cv1), "cv2": TO.tconv_params(b.cv2)})
+    sub["params"]["ca"], sub["batch_stats"]["ca"] = cap, cas
+    pairs = {
+        "cv1": TO.tconv_params(t.cv1),
+        "cv2": TO.tconv_params(t.cv2),
+        "cv3": TO.tconv_params(t.cv3),
+        "m_0": (sub["params"], sub["batch_stats"]),
+    }
+    x = rand_input(rng, 2, 8, 8, 16)
+    got = run_jax(lnn.C3_CA(16, n=1), _nest(pairs), x)
+    np.testing.assert_allclose(got, run_torch(t, x), **TOL)
+
+
+def _rfa_generate_variables(gen_conv, gen_bn, rng):
+    TO.randomize_bn(gen_bn, rng)
+    bp, bs = TO.bn_params(gen_bn)
+    return {"generate_conv": {"kernel": TO.conv_w(gen_conv.weight)}, "generate_bn": bp}, {"generate_bn": bs}
+
+
+@pytest.mark.parametrize("stride", [1, 2])
+def test_rfcbamconv(rng, stride):
+    c1, c2, k = 8, 16, 3
+    t = TO.TRFCBAMConv(c1, c2, k, stride)
+    p, s = _rfa_generate_variables(t.generate[0], t.generate[1], rng)
+    TO.randomize_bn(t.conv[1], rng)
+    cbp, cbs = TO.bn_params(t.conv[1])
+    p.update(
+        {
+            "se": {"fc_0": {"kernel": TO.lin_w(t.se.fc[0].weight)}, "fc_2": {"kernel": TO.lin_w(t.se.fc[2].weight)}},
+            "get_weight_conv": {"kernel": TO.conv_w(t.get_weight[0].weight)},
+            "conv_kernel": TO.tap_w(t.conv[0].weight, k),
+            "conv_bias": t.conv[0].bias.detach().numpy(),
+            "conv_bn": cbp,
+        }
+    )
+    s["conv_bn"] = cbs
+    x = rand_input(rng, 2, 12, 12, c1)
+    got = run_jax(lnn.RFCBAMConv(c2, k, stride), {"params": p, "batch_stats": s}, x)
+    np.testing.assert_allclose(got, run_torch(t, x), **TOL)
+
+
+def test_rfaconv(rng):
+    c1, c2, k = 8, 16, 3
+    t = TO.TRFAConv(c1, c2, k, 1)
+    p, s = _rfa_generate_variables(t.generate[0], t.generate[1], rng)
+    TO.randomize_bn(t.conv[1], rng)
+    cbp, cbs = TO.bn_params(t.conv[1])
+    p.update(
+        {
+            "get_weight_conv": {"kernel": TO.conv_w(t.get_weight[1].weight)},
+            "conv_kernel": TO.tap_w(t.conv[0].weight, k),
+            "conv_bias": t.conv[0].bias.detach().numpy(),
+            "conv_bn": cbp,
+        }
+    )
+    s["conv_bn"] = cbs
+    x = rand_input(rng, 2, 12, 12, c1)
+    got = run_jax(lnn.RFAConv(c2, k, 1), {"params": p, "batch_stats": s}, x)
+    np.testing.assert_allclose(got, run_torch(t, x), **TOL)
+
+
+def test_rfcaconv(rng):
+    c1, c2, k = 8, 16, 3
+    t = TO.TRFCAConv(c1, c2, k, 1)
+    p, s = _rfa_generate_variables(t.generate[0], t.generate[1], rng)
+    TO.randomize_bn(t.bn1, rng)
+    bp, bs = TO.bn_params(t.bn1)
+    p.update(
+        {
+            "conv1": {"kernel": TO.conv_w(t.conv1.weight), "bias": t.conv1.bias.detach().numpy()},
+            "bn1": bp,
+            "conv_h": {"kernel": TO.conv_w(t.conv_h.weight), "bias": t.conv_h.bias.detach().numpy()},
+            "conv_w": {"kernel": TO.conv_w(t.conv_w.weight), "bias": t.conv_w.bias.detach().numpy()},
+            "conv_kernel": TO.tap_w(t.conv.weight, k),
+            "conv_bias": t.conv.bias.detach().numpy(),
+        }
+    )
+    s["bn1"] = bs
+    x = rand_input(rng, 2, 12, 12, c1)
+    got = run_jax(lnn.RFCAConv(c2, k, 1), {"params": p, "batch_stats": s}, x)
+    np.testing.assert_allclose(got, run_torch(t, x), **TOL)
+
+
+def test_batchnorm_train_updates_match_torch(rng):
+    """Train-mode BN: output + running-stat update vs torch."""
+    c = 8
+    tbn = TO.bn2d(c)
+    TO.randomize_bn(tbn, rng)
+    bp, bs = TO.bn_params(tbn)
+    x = rand_input(rng, 4, 6, 6, c)
+
+    tbn.train()
+    with torch.no_grad():
+        ty = tbn(nchw(x)).numpy().transpose(0, 2, 3, 1)
+
+    mod = lnn.BatchNorm()
+    v = {"params": bp, "batch_stats": bs}
+    y, upd = mod.apply(v, jnp.asarray(x), train=True, mutable=["batch_stats"])
+    np.testing.assert_allclose(np.asarray(y), ty, **TOL)
+    np.testing.assert_allclose(np.asarray(upd["batch_stats"]["mean"]), tbn.running_mean.numpy(), rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(upd["batch_stats"]["var"]), tbn.running_var.numpy(), rtol=1e-4, atol=1e-5)
+
+
+def test_upsample_contract_expand(rng):
+    x = rand_input(rng, 1, 4, 4, 8)
+    up = np.asarray(lnn.Upsample().apply({}, jnp.asarray(x)))
+    tu = torch.nn.functional.interpolate(nchw(x), scale_factor=2, mode="nearest").numpy().transpose(0, 2, 3, 1)
+    np.testing.assert_allclose(up, tu, **TOL)
+
+    ct = np.asarray(lnn.Contract(2).apply({}, jnp.asarray(x)))
+    ex = np.asarray(lnn.Expand(2).apply({}, jnp.asarray(ct)))
+    np.testing.assert_allclose(ex, x, **TOL)
