@@ -208,11 +208,19 @@ ACTIVATIONS = {
 }
 
 
+# Config-wide default for act=True, set by the builder at trace time when a
+# model YAML carries an ``activation:`` override (reference sets
+# Conv.default_act globally, models/yolo.py:400-402). Traced functions bake
+# this in as a constant; it never varies within one model.
+DEFAULT_ACT = "silu"
+
+
 def get_activation(act):
-    """Resolve an activation spec: True->silu, False/None->identity, str->named,
-    'leaky_relu:0.1' -> leaky with slope. Callables pass through."""
+    """Resolve an activation spec: True->config default (silu unless the model
+    YAML overrides), False/None->identity, str->named, 'leaky_relu:0.1' ->
+    leaky with slope. Callables pass through."""
     if act is True:
-        return silu
+        return get_activation(DEFAULT_ACT)
     if act in (False, None):
         return ACTIVATIONS["identity"]
     if callable(act):
