@@ -320,3 +320,107 @@ def tconv_params(m: TConv, rng=None):
         {"conv": {"kernel": conv_w(m.conv.weight)}, "bn": bp},
         {"bn": bs},
     )
+
+
+# ---- YOLOv5-style detection loss oracle (EIoU variant) ----
+
+
+def t_bbox_eiou(box1, box2, eps=1e-7):
+    """Elementwise EIoU on xywh boxes, torch."""
+    (x1, y1, w1, h1), (x2, y2, w2, h2) = box1.chunk(4, -1), box2.chunk(4, -1)
+    b1x1, b1x2, b1y1, b1y2 = x1 - w1 / 2, x1 + w1 / 2, y1 - h1 / 2, y1 + h1 / 2
+    b2x1, b2x2, b2y1, b2y2 = x2 - w2 / 2, x2 + w2 / 2, y2 - h2 / 2, y2 + h2 / 2
+    inter = (torch.min(b1x2, b2x2) - torch.max(b1x1, b2x1)).clamp(0) * (
+        torch.min(b1y2, b2y2) - torch.max(b1y1, b2y1)
+    ).clamp(0)
+    union = w1 * h1 + w2 * h2 - inter + eps
+    iou = inter / (union + eps)
+    cw = torch.max(b1x2, b2x2) - torch.min(b1x1, b2x1)
+    ch = torch.max(b1y2, b2y2) - torch.min(b1y1, b2y1)
+    c2 = cw**2 + ch**2 + eps
+    rho2 = ((b2x1 + b2x2 - b1x1 - b1x2) ** 2 + (b2y1 + b2y2 - b1y1 - b1y2) ** 2) / 4
+    rho_w2 = ((b2x2 - b2x1) - (b1x2 - b1x1)) ** 2
+    rho_h2 = ((b2y2 - b2y1) - (b1y2 - b1y1)) ** 2
+    return iou - (rho2 / c2 + rho_w2 / (cw**2 + eps) + rho_h2 / (ch**2 + eps))
+
+
+class TYoloLoss:
+    """YOLOv5 v7-style loss with EIoU box term; targets (n,6) = (img, cls, xywh-normalized)."""
+
+    def __init__(self, anchors_grid, nc, hyp=None):
+        self.anchors = torch.tensor(anchors_grid, dtype=torch.float32)  # (nl,na,2) grid units
+        self.nl, self.na = self.anchors.shape[:2]
+        self.nc = nc
+        self.hyp = hyp or dict(box=0.05, obj=1.0, cls=0.5, cls_pw=1.0, obj_pw=1.0, anchor_t=4.0)
+        self.balance = [4.0, 1.0, 0.4]
+
+    def build_targets(self, p, targets):
+        na, nt = self.na, targets.shape[0]
+        tcls, tbox, indices, anch = [], [], [], []
+        gain = torch.ones(7)
+        ai = torch.arange(na).float().view(na, 1).repeat(1, nt)
+        targets = torch.cat((targets.repeat(na, 1, 1), ai[..., None]), 2)
+        g = 0.5
+        off = torch.tensor([[0, 0], [1, 0], [0, 1], [-1, 0], [0, -1]]).float() * g
+        for i in range(self.nl):
+            anchors, shape = self.anchors[i], p[i].shape
+            gain[2:6] = torch.tensor(shape)[[3, 2, 3, 2]]
+            t = targets * gain
+            if nt:
+                r = t[..., 4:6] / anchors[:, None]
+                jm = torch.max(r, 1 / r).max(2)[0] < self.hyp["anchor_t"]
+                t = t[jm]
+                gxy = t[:, 2:4]
+                gxi = gain[[2, 3]] - gxy
+                j, k = ((gxy % 1 < g) & (gxy > 1)).T
+                l, m = ((gxi % 1 < g) & (gxi > 1)).T
+                j = torch.stack((torch.ones_like(j), j, k, l, m))
+                t = t.repeat((5, 1, 1))[j]
+                offsets = (torch.zeros_like(gxy)[None] + off[:, None])[j]
+            else:
+                t = targets[0]
+                offsets = 0
+            bc, gxy, gwh, a = t.chunk(4, 1)
+            a, (b, c) = a.long().view(-1), bc.long().T
+            gij = (gxy - offsets).long()
+            gi, gj = gij.T
+            indices.append((b, a, gj.clamp_(0, shape[2] - 1), gi.clamp_(0, shape[3] - 1)))
+            tbox.append(torch.cat((gxy - gij, gwh), 1))
+            anch.append(anchors[a])
+            tcls.append(c)
+        return tcls, tbox, indices, anch
+
+    def __call__(self, p, targets):
+        """p: list of (B, na, ny, nx, no) raw maps."""
+        lcls = torch.zeros(1)
+        lbox = torch.zeros(1)
+        lobj = torch.zeros(1)
+        tcls, tbox, indices, anchors = self.build_targets(p, targets)
+        h = self.hyp
+        for i, pi in enumerate(p):
+            b, a, gj, gi = indices[i]
+            tobj = torch.zeros(pi.shape[:4])
+            n = b.shape[0]
+            if n:
+                pxy, pwh, _, pcls = pi[b, a, gj, gi].split((2, 2, 1, self.nc), 1)
+                pxy = pxy.sigmoid() * 2 - 0.5
+                pwh = (pwh.sigmoid() * 2) ** 2 * anchors[i]
+                pbox = torch.cat((pxy, pwh), 1)
+                iou = t_bbox_eiou(pbox, tbox[i]).squeeze(-1)
+                lbox += (1.0 - iou).mean()
+                iou = iou.detach().clamp(0)
+                tobj[b, a, gj, gi] = iou
+                if self.nc > 1:
+                    t = torch.full_like(pcls, 0.0)
+                    t[range(n), tcls[i]] = 1.0
+                    lcls += F.binary_cross_entropy_with_logits(
+                        pcls, t, pos_weight=torch.tensor([h["cls_pw"]])
+                    )
+            lobj += F.binary_cross_entropy_with_logits(
+                pi[..., 4], tobj, pos_weight=torch.tensor([h["obj_pw"]])
+            ) * self.balance[i]
+        bs = tobj.shape[0]
+        lbox *= h["box"]
+        lobj *= h["obj"]
+        lcls *= h["cls"]
+        return (lbox + lobj + lcls) * bs, (lbox.item(), lobj.item(), lcls.item())
