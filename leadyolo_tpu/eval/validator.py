@@ -1,0 +1,135 @@
+"""Validation engine: device-side forward+decode+NMS, host-side AP bookkeeping.
+
+Capability parity with reference val.py:104-346: conf 0.001 / IoU 0.6
+multi-label NMS, greedy IoU matching at 10 thresholds, ap_per_class, per-class
+table, speed/FPS accounting. TPU-first: one jitted graph per (batch, size)
+runs forward+decode+NMS for the whole batch; matching happens in letterbox
+space (IoU is invariant under the per-image uniform scale+pad, so native-space
+matching like the reference's scale_boxes path gives identical TPs).
+"""
+from __future__ import annotations
+
+import time
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..data.datasets import YoloDataset
+from ..data.loader import DataLoader
+from ..ops.metrics import ap_per_class, ConfusionMatrix, process_batch
+from ..ops.nms import non_max_suppression
+
+
+def validate(
+    model,
+    variables,
+    data_path,
+    img_size: int = 640,
+    batch_size: int = 32,
+    conf_thres: float = 0.001,
+    iou_thres: float = 0.6,
+    max_det: int = 300,
+    max_nms: int = 4096,
+    compute_dtype=jnp.bfloat16,
+    max_targets: int = 128,
+    names: Optional[dict] = None,
+    verbose: bool = False,
+    workers: int = 8,
+):
+    """Evaluate mAP on a directory/txt of YOLO-format images.
+
+    Returns dict(mp, mr, map50, map, per_class, speed_ms, fps, nt).
+    """
+    nc = model.nc
+    iouv = np.linspace(0.5, 0.95, 10)
+
+    ds = YoloDataset(data_path, img_size=img_size, augment=False, max_targets=max_targets)
+    dl = DataLoader(ds, batch_size=batch_size, shuffle=False, drop_last=False, workers=workers)
+
+    @jax.jit
+    def infer(variables, images):
+        x = images.astype(compute_dtype) / 255.0
+        preds = model.apply(variables, x, train=False, decode=True)
+        if isinstance(preds, tuple):
+            preds = preds[0]
+        det, valid = non_max_suppression(
+            preds.astype(jnp.float32),
+            conf_thres=conf_thres,
+            iou_thres=iou_thres,
+            multi_label=nc > 1,
+            max_det=max_det,
+            max_nms=max_nms,
+            nc=nc,
+        )
+        return det, valid
+
+    stats = []
+    confusion = ConfusionMatrix(nc)
+    seen = 0
+    infer_time = 0.0
+    nb_pad = None
+
+    for imgs, targets, tmask in dl:
+        b = imgs.shape[0]
+        if b < batch_size:  # pad the final batch to keep the jit shape static
+            pad = batch_size - b
+            imgs = np.concatenate([imgs, np.zeros((pad,) + imgs.shape[1:], imgs.dtype)])
+            targets = np.concatenate([targets, np.zeros((pad,) + targets.shape[1:], targets.dtype)])
+            tmask = np.concatenate([tmask, np.zeros((pad,) + tmask.shape[1:], bool)])
+        t0 = time.perf_counter()
+        det, valid = infer(variables, jnp.asarray(imgs))
+        det = np.asarray(det)
+        valid = np.asarray(valid)
+        infer_time += time.perf_counter() - t0
+
+        for i in range(b):
+            seen += 1
+            d = det[i][valid[i]]
+            lb = targets[i][tmask[i]]
+            # labels to xyxy pixel space (same letterbox space as predictions)
+            tbox = np.zeros((len(lb), 5), np.float32)
+            if len(lb):
+                tbox[:, 0] = lb[:, 0]
+                cx, cy, w, h = (lb[:, 1] * img_size, lb[:, 2] * img_size, lb[:, 3] * img_size, lb[:, 4] * img_size)
+                tbox[:, 1], tbox[:, 2], tbox[:, 3], tbox[:, 4] = cx - w / 2, cy - h / 2, cx + w / 2, cy + h / 2
+            correct = process_batch(d, tbox, iouv)
+            stats.append((correct, d[:, 4], d[:, 5], tbox[:, 0]))
+            confusion.process_batch(d, tbox)
+
+    tp = np.concatenate([s[0] for s in stats]) if stats else np.zeros((0, 10), bool)
+    conf = np.concatenate([s[1] for s in stats]) if stats else np.zeros(0)
+    pred_cls = np.concatenate([s[2] for s in stats]) if stats else np.zeros(0)
+    target_cls = np.concatenate([s[3] for s in stats]) if stats else np.zeros(0)
+
+    if tp.shape[0] and target_cls.shape[0]:
+        r = ap_per_class(tp, conf, pred_cls, target_cls)
+        mp, mr = float(r["p"].mean()), float(r["r"].mean())
+        map50, mapm = float(r["ap50"].mean()), float(r["ap_mean"].mean())
+    else:
+        r = None
+        mp = mr = map50 = mapm = 0.0
+
+    speed_ms = infer_time / max(seen, 1) * 1000.0
+    out = {
+        "mp": mp,
+        "mr": mr,
+        "map50": map50,
+        "map": mapm,
+        "nt": int(target_cls.shape[0]),
+        "seen": seen,
+        "speed_ms": speed_ms,
+        "fps": 1000.0 / speed_ms if speed_ms else 0.0,
+        "per_class": r,
+        "confusion": confusion,
+    }
+    if verbose:
+        print(f"{'all':>10}{seen:>9}{out['nt']:>9}{mp:>11.3g}{mr:>11.3g}{map50:>11.3g}{mapm:>11.3g}")
+        if r is not None and nc > 1 and names:
+            for ci, c in enumerate(r["unique_classes"]):
+                print(
+                    f"{names.get(int(c), c):>10}{seen:>9}{int((target_cls == c).sum()):>9}"
+                    f"{r['p'][ci]:>11.3g}{r['r'][ci]:>11.3g}{r['ap50'][ci]:>11.3g}{r['ap_mean'][ci]:>11.3g}"
+                )
+    return out

@@ -90,7 +90,10 @@ def make_train_step(model, cfg: TrainConfig, mesh=None, donate: bool = True):
         )
 
         def loss_fn(params):
+            # uint8 batches cross PCIe/ICI at 1 byte/px and normalize on device
             x = images.astype(cfg.compute_dtype)
+            if images.dtype == jnp.uint8:
+                x = x / 255.0
             outs, new_stats = model.net.apply(
                 {"params": params, "batch_stats": state.batch_stats}, x, train=True, mutable=["batch_stats"]
             )

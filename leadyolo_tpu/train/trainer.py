@@ -1,0 +1,201 @@
+"""Full training driver: data + model + compiled step + validation + ckpt.
+
+Capability parity with reference train.py:69-446 — the epoch loop, per-epoch
+EMA validation, fitness-based best-checkpoint selection, early stopping, csv
+logging, warmup bookkeeping — around the single jitted train step. Multi-chip
+runs by passing a mesh (the DDP replacement); rank-gating uses
+jax.process_index().
+"""
+from __future__ import annotations
+
+import csv
+import math
+import time
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import yaml
+
+from ..data.datasets import YoloDataset, check_dataset
+from ..data.loader import DataLoader
+from ..eval.validator import validate
+from ..models.yolo import DetectionModel
+from ..parallel.mesh import is_main_process, make_mesh, replicate, shard_batch
+from ..utils.checkpoint import load_checkpoint, save_checkpoint, strip_optimizer
+from .loss import LossConfig
+from .optim import EarlyStopping
+from .step import TrainConfig, TrainState, init_train_state, make_train_step
+
+HYP_DIR = Path(__file__).parent.parent / "data" / "hyps"
+DATA_DIR = Path(__file__).parent.parent / "data" / "configs"
+
+
+def load_hyp(hyp) -> dict:
+    if isinstance(hyp, dict):
+        return dict(hyp)
+    p = Path(hyp)
+    if not p.exists():
+        for cand in (HYP_DIR / f"{hyp}.yaml", HYP_DIR / f"scratch-{hyp}.yaml"):
+            if cand.exists():
+                p = cand
+                break
+    with open(p) as f:
+        return yaml.safe_load(f)
+
+
+def resolve_data(data):
+    p = Path(data)
+    if not p.exists():
+        for cand in (DATA_DIR / f"{data}.yaml", DATA_DIR / f"{str(data).lower()}.yaml"):
+            if cand.exists():
+                p = cand
+                break
+    return check_dataset(p)
+
+
+def train(
+    cfg="lead-yolo",
+    data="ssdd",
+    hyp="scratch-low",
+    epochs: int = 300,
+    batch_size: int = 32,
+    img_size: int = 640,
+    workers: int = 8,
+    save_dir="runs/train/exp",
+    compute_dtype=jnp.bfloat16,
+    cos_lr: bool = False,
+    patience: int = 100,
+    val_every: int = 1,
+    max_targets: int = 128,
+    seed: int = 0,
+    mesh=None,
+    resume=None,
+    noval: bool = False,
+    log_fn=print,
+):
+    """Train a detector; returns (best_fitness, results dict, save_dir)."""
+    save_dir = Path(save_dir)
+    save_dir.mkdir(parents=True, exist_ok=True)
+    hyp = load_hyp(hyp)
+    data_cfg = resolve_data(data)
+    nc = data_cfg["nc"]
+
+    model = DetectionModel(cfg, nc=nc, img_size=img_size)
+    variables = model.init(jax.random.PRNGKey(seed), img_size=img_size)
+
+    ds = YoloDataset(
+        data_cfg["train"], img_size=img_size, augment=True, hyp=hyp, max_targets=max_targets, seed=seed
+    )
+    dl = DataLoader(
+        ds,
+        batch_size,
+        shuffle=True,
+        workers=workers,
+        seed=seed,
+        process_index=jax.process_index(),
+        process_count=jax.process_count(),
+    )
+    nb = len(dl)
+    warmup_steps = max(round(hyp.get("warmup_epochs", 3.0) * nb), 100)
+
+    # weight decay scaled by total-batch/nominal-64 (reference train.py:156-158)
+    accumulate = max(round(64 / batch_size), 1)
+    wd = hyp.get("weight_decay", 5e-4) * batch_size * accumulate / 64
+
+    lcfg = LossConfig.from_hyp(model, hyp, imgsz=img_size)
+    tcfg = TrainConfig(
+        loss=lcfg,
+        lr0=hyp.get("lr0", 0.01),
+        lrf=hyp.get("lrf", 0.01),
+        momentum=hyp.get("momentum", 0.937),
+        weight_decay=wd,
+        warmup_steps=warmup_steps,
+        warmup_momentum=hyp.get("warmup_momentum", 0.8),
+        warmup_bias_lr=hyp.get("warmup_bias_lr", 0.1),
+        epochs=epochs,
+        steps_per_epoch=nb,
+        cos_lr=cos_lr,
+        compute_dtype=compute_dtype,
+    )
+    step = make_train_step(model, tcfg, mesh=mesh)
+    state = init_train_state(variables)
+    start_epoch, best_fitness = 0, 0.0
+
+    if resume:
+        state, meta = load_checkpoint(resume, target=state)
+        start_epoch = int(meta.get("epoch", -1)) + 1
+        best_fitness = float(meta.get("best_fitness", 0.0))
+        log_fn(f"resumed from {resume} at epoch {start_epoch}")
+
+    if mesh is not None:
+        state = replicate(mesh, state)
+
+    stopper = EarlyStopping(patience)
+    csv_path = save_dir / "results.csv"
+    if not csv_path.exists() and is_main_process():
+        with open(csv_path, "w", newline="") as f:
+            csv.writer(f).writerow(
+                ["epoch", "box_loss", "obj_loss", "cls_loss", "P", "R", "mAP50", "mAP50-95", "lr", "time_s"]
+            )
+
+    results = {"mp": 0, "mr": 0, "map50": 0, "map": 0}
+    log_fn(f"training {cfg} on {data_cfg.get('train')}: {len(ds)} imgs, {nb} steps/epoch, {epochs} epochs")
+
+    for epoch in range(start_epoch, epochs):
+        t0 = time.time()
+        dl.set_epoch(epoch)
+        sums = {"box": 0.0, "obj": 0.0, "cls": 0.0}
+        lr_now = 0.0
+        for imgs, targets, tmask in dl:
+            batch = (jnp.asarray(imgs), jnp.asarray(targets), jnp.asarray(tmask))
+            if mesh is not None:
+                batch = shard_batch(mesh, batch)
+            state, metrics = step(state, *batch)
+            for k in sums:
+                sums[k] += float(metrics[k])
+            lr_now = float(metrics["lr"])
+        means = {k: v / max(nb, 1) for k, v in sums.items()}
+
+        fi = 0.0
+        if is_main_process():
+            ema_vars = jax.tree.map(np.asarray, state.ema.variables)
+            if not noval and (epoch % val_every == 0 or epoch == epochs - 1):
+                results = validate(
+                    model,
+                    ema_vars,
+                    data_cfg["val"],
+                    img_size=img_size,
+                    batch_size=batch_size,
+                    compute_dtype=compute_dtype,
+                    max_targets=max_targets,
+                    workers=workers,
+                )
+                fi = 0.1 * results["map50"] + 0.9 * results["map"]
+            dt = time.time() - t0
+            log_fn(
+                f"epoch {epoch + 1}/{epochs}: box {means['box']:.4f} obj {means['obj']:.4f} "
+                f"cls {means['cls']:.4f} | P {results['mp']:.3f} R {results['mr']:.3f} "
+                f"mAP50 {results['map50']:.4f} mAP {results['map']:.4f} | lr {lr_now:.5f} {dt:.1f}s"
+            )
+            with open(csv_path, "a", newline="") as f:
+                csv.writer(f).writerow(
+                    [epoch, f"{means['box']:.5f}", f"{means['obj']:.5f}", f"{means['cls']:.5f}",
+                     f"{results['mp']:.5f}", f"{results['mr']:.5f}", f"{results['map50']:.5f}",
+                     f"{results['map']:.5f}", f"{lr_now:.6f}", f"{dt:.1f}"]
+                )
+
+            meta = {"epoch": epoch, "best_fitness": max(best_fitness, fi), "cfg": str(cfg), "nc": nc}
+            save_checkpoint(save_dir / "last.ckpt", jax.device_get(state), meta)
+            if fi >= best_fitness:
+                best_fitness = fi
+                save_checkpoint(save_dir / "best.ckpt", jax.device_get(state), meta)
+
+            if stopper(epoch, fi):
+                log_fn(f"early stopping at epoch {epoch} (best {stopper.best_fitness:.4f} @ {stopper.best_epoch})")
+                break
+
+    if is_main_process() and (save_dir / "best.ckpt").exists():
+        strip_optimizer(save_dir / "best.ckpt", save_dir / "best_stripped.ckpt")
+    return best_fitness, results, save_dir
