@@ -18,6 +18,9 @@ BASELINE_FPS = 35.3  # reference LEAD-YOLO FPS (README.md:126-128)
 
 
 def main():
+    from leadyolo_tpu.utils import enable_compilation_cache
+
+    enable_compilation_cache()
     from leadyolo_tpu.models.yolo import DetectionModel
     from leadyolo_tpu.ops.nms import non_max_suppression
 

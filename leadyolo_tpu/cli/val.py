@@ -1,0 +1,99 @@
+"""Validation CLI (reference val.py:349-378 surface equivalent).
+
+Accepts our .ckpt checkpoints or reference .pt checkpoints (converted on the
+fly through the stub unpickler). Tasks: val/test/speed.
+"""
+from __future__ import annotations
+
+import argparse
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+
+from ..eval.validator import validate
+from ..models.yolo import DetectionModel
+from ..train.trainer import resolve_data
+from ..utils.checkpoint import load_checkpoint
+
+
+def load_weights(weights, cfg, nc=None):
+    """Returns (model, variables) from a .ckpt or reference .pt file."""
+    if str(weights).endswith(".pt"):
+        from ..utils.torch_convert import load_reference_checkpoint
+
+        model = DetectionModel(cfg, nc=nc)
+        variables, meta, report = load_reference_checkpoint(model, weights)
+        return model, variables
+    state, meta = load_checkpoint(weights)
+    nc = nc or meta.get("nc")
+    model = DetectionModel(meta.get("cfg", cfg), nc=nc)
+    if isinstance(state, dict) and "ema" in state:
+        variables = state["ema"]["variables"]
+    elif isinstance(state, dict) and "params" in state and "batch_stats" in state:
+        variables = {"params": state["params"], "batch_stats": state["batch_stats"]}
+    else:
+        variables = state
+    return model, variables
+
+
+def run(
+    weights,
+    data="ssdd",
+    cfg="lead-yolo",
+    imgsz=640,
+    batch_size=32,
+    conf_thres=0.001,
+    iou_thres=0.6,
+    max_det=300,
+    task="val",
+    half=True,
+    workers=8,
+    verbose=True,
+):
+    data_cfg = resolve_data(data)
+    model, variables = load_weights(weights, cfg, nc=data_cfg["nc"])
+    split = data_cfg.get(task) or data_cfg["val"]
+    res = validate(
+        model,
+        variables,
+        split,
+        img_size=imgsz,
+        batch_size=batch_size,
+        conf_thres=conf_thres,
+        iou_thres=iou_thres,
+        max_det=max_det,
+        compute_dtype=jnp.bfloat16 if half else jnp.float32,
+        names=data_cfg.get("names"),
+        verbose=verbose,
+        workers=workers,
+    )
+    print(
+        f"P {res['mp']:.4f}  R {res['mr']:.4f}  mAP50 {res['map50']:.4f}  mAP50-95 {res['map']:.4f}  "
+        f"({res['seen']} images, {res['speed_ms']:.2f} ms/img, {res['fps']:.1f} FPS)"
+    )
+    return res
+
+
+def parse_opt():
+    p = argparse.ArgumentParser()
+    p.add_argument("--weights", type=str, required=True)
+    p.add_argument("--data", type=str, default="ssdd")
+    p.add_argument("--cfg", type=str, default="lead-yolo")
+    p.add_argument("--imgsz", "--img-size", type=int, default=640)
+    p.add_argument("--batch-size", type=int, default=32)
+    p.add_argument("--conf-thres", type=float, default=0.001)
+    p.add_argument("--iou-thres", type=float, default=0.6)
+    p.add_argument("--max-det", type=int, default=300)
+    p.add_argument("--task", type=str, default="val", choices=["train", "val", "test", "speed"])
+    p.add_argument("--no-half", dest="half", action="store_false")
+    p.add_argument("--workers", type=int, default=8)
+    return p.parse_args()
+
+
+def main():
+    run(**vars(parse_opt()))
+
+
+if __name__ == "__main__":
+    main()

@@ -76,6 +76,9 @@ def train(
     log_fn=print,
 ):
     """Train a detector; returns (best_fitness, results dict, save_dir)."""
+    from ..utils import enable_compilation_cache
+
+    enable_compilation_cache()
     save_dir = Path(save_dir)
     save_dir.mkdir(parents=True, exist_ok=True)
     hyp = load_hyp(hyp)
@@ -146,17 +149,19 @@ def train(
     for epoch in range(start_epoch, epochs):
         t0 = time.time()
         dl.set_epoch(epoch)
-        sums = {"box": 0.0, "obj": 0.0, "cls": 0.0}
-        lr_now = 0.0
+        # keep metrics as device arrays during the epoch — fetching per step
+        # would stall the dispatch pipeline on every iteration
+        epoch_metrics = []
         for imgs, targets, tmask in dl:
             batch = (jnp.asarray(imgs), jnp.asarray(targets), jnp.asarray(tmask))
             if mesh is not None:
                 batch = shard_batch(mesh, batch)
             state, metrics = step(state, *batch)
-            for k in sums:
-                sums[k] += float(metrics[k])
-            lr_now = float(metrics["lr"])
-        means = {k: v / max(nb, 1) for k, v in sums.items()}
+            epoch_metrics.append(metrics)
+        means = {
+            k: float(np.mean([np.asarray(m[k]) for m in epoch_metrics])) for k in ("box", "obj", "cls")
+        }
+        lr_now = float(np.asarray(epoch_metrics[-1]["lr"])) if epoch_metrics else 0.0
 
         fi = 0.0
         if is_main_process():

@@ -18,6 +18,9 @@ from flax import serialization
 
 
 def _to_numpy(tree):
+    # to_state_dict turns NamedTuples (TrainState/SGDState/EMAState) into
+    # plain dicts that msgpack can serialize
+    tree = serialization.to_state_dict(tree)
     return jax.tree.map(lambda x: np.asarray(x), tree)
 
 
