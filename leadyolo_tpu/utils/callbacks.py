@@ -1,0 +1,47 @@
+"""Callbacks event bus (reference utils/callbacks.py:9-76 equivalent).
+
+The same hook names the reference fires, so downstream integrations port over
+unchanged.
+"""
+from __future__ import annotations
+
+
+class Callbacks:
+    HOOKS = [
+        "on_pretrain_routine_start",
+        "on_pretrain_routine_end",
+        "on_train_start",
+        "on_train_epoch_start",
+        "on_train_batch_start",
+        "optimizer_step",
+        "on_before_zero_grad",
+        "on_train_batch_end",
+        "on_train_epoch_end",
+        "on_val_start",
+        "on_val_batch_start",
+        "on_val_image_end",
+        "on_val_batch_end",
+        "on_val_end",
+        "on_fit_epoch_end",
+        "on_model_save",
+        "on_train_end",
+        "on_params_update",
+        "teardown",
+    ]
+
+    def __init__(self):
+        self._callbacks = {h: [] for h in self.HOOKS}
+        self.stop_training = False
+
+    def register_action(self, hook, name="", callback=None):
+        assert hook in self._callbacks, f"unknown hook {hook}"
+        assert callable(callback), "callback must be callable"
+        self._callbacks[hook].append({"name": name, "callback": callback})
+
+    def get_registered_actions(self, hook=None):
+        return self._callbacks[hook] if hook else self._callbacks
+
+    def run(self, hook, *args, **kwargs):
+        assert hook in self._callbacks, f"unknown hook {hook}"
+        for entry in self._callbacks[hook]:
+            entry["callback"](*args, **kwargs)
