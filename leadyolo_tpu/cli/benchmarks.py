@@ -1,0 +1,113 @@
+"""Benchmarks sweep: export every supported format, then val each.
+
+Capability parity with reference benchmarks.py:52-113: a table of
+format / artifact size / mAP / inference time, with an optional --hard-fail
+mAP floor that turns regressions into a nonzero exit (the reference's
+numerical regression test).
+"""
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+
+from ..eval.validator import validate
+from ..train.trainer import resolve_data
+from .export import EXPORTERS, export_formats, run as export_run
+
+
+def run(weights, data="ssdd", cfg="lead-yolo", imgsz=640, batch=1, hard_fail=None, out_dir="runs/benchmarks"):
+    from ..models.backend import MultiBackend
+    from ..ops.metrics import ap_per_class, process_batch
+    from ..ops.nms import non_max_suppression
+    from ..data.datasets import YoloDataset
+    import jax.numpy as jnp
+    import jax
+
+    data_cfg = resolve_data(data)
+    rows = []
+    artifacts = {"ckpt": weights}
+    exported = export_run(
+        weights,
+        include=[a for _, a, _, ok in export_formats() if ok],
+        cfg=cfg,
+        imgsz=imgsz,
+        batch=batch,
+        out_dir=out_dir,
+    )
+    for (name, arg, suffix, ok), art in zip([f for f in export_formats() if f[3]], exported):
+        if art:
+            artifacts[arg] = art
+
+    ds = YoloDataset(data_cfg["val"], img_size=imgsz, augment=False, max_targets=128)
+    n_eval = min(64, len(ds))
+    iouv = np.linspace(0.5, 0.95, 10)
+
+    for fmt, art in artifacts.items():
+        try:
+            backend = MultiBackend(art, cfg=cfg, nc=data_cfg["nc"], img_size=imgsz)
+            backend.warmup((batch, imgsz, imgsz, 3))
+            stats = []
+            t_total = 0.0
+            for i in range(0, n_eval, batch):
+                ims, lbs = zip(*(ds[j] for j in range(i, min(i + batch, n_eval))))
+                x = np.stack(ims)
+                if len(x) < batch:
+                    x = np.concatenate([x, np.zeros((batch - len(x),) + x.shape[1:], x.dtype)])
+                t0 = time.perf_counter()
+                preds = backend.forward(x)
+                t_total += time.perf_counter() - t0
+                det, valid = non_max_suppression(
+                    jnp.asarray(preds[: len(ims)], jnp.float32), conf_thres=0.001, iou_thres=0.6,
+                    multi_label=data_cfg["nc"] > 1, max_det=300, nc=data_cfg["nc"],
+                )
+                det, valid = np.asarray(det), np.asarray(valid)
+                for k, lb in enumerate(lbs):
+                    d = det[k][valid[k]]
+                    tb = np.zeros((len(lb), 5), np.float32)
+                    if len(lb):
+                        tb[:, 0] = lb[:, 0]
+                        cx, cy, w, h = (lb[:, 1] * imgsz, lb[:, 2] * imgsz, lb[:, 3] * imgsz, lb[:, 4] * imgsz)
+                        tb[:, 1:] = np.stack([cx - w / 2, cy - h / 2, cx + w / 2, cy + h / 2], 1)
+                    stats.append((process_batch(d, tb, iouv), d[:, 4], d[:, 5], tb[:, 0]))
+            tp = np.concatenate([s[0] for s in stats])
+            conf = np.concatenate([s[1] for s in stats])
+            pc = np.concatenate([s[2] for s in stats])
+            tc = np.concatenate([s[3] for s in stats])
+            m = ap_per_class(tp, conf, pc, tc) if len(tc) else None
+            map5095 = float(m["ap_mean"].mean()) if m else 0.0
+            ms = t_total / n_eval * 1000
+            rows.append((fmt, str(art), round(map5095, 4), round(ms, 2)))
+        except Exception as e:
+            rows.append((fmt, str(art), None, None))
+            print(f"benchmark {fmt}: FAILED ({e})")
+
+    print(f"\n{'format':<14}{'mAP50-95':>10}{'ms/img':>10}  artifact")
+    for fmt, art, mp, ms in rows:
+        print(f"{fmt:<14}{str(mp):>10}{str(ms):>10}  {art}")
+
+    if hard_fail is not None:
+        worst = min((r[2] for r in rows if r[2] is not None), default=0.0)
+        if worst < hard_fail:
+            print(f"HARD FAIL: min mAP {worst} < floor {hard_fail}")
+            sys.exit(1)
+    return rows
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--weights", required=True)
+    p.add_argument("--data", default="ssdd")
+    p.add_argument("--cfg", default="lead-yolo")
+    p.add_argument("--imgsz", type=int, default=640)
+    p.add_argument("--batch", type=int, default=1)
+    p.add_argument("--hard-fail", type=float, default=None)
+    a = p.parse_args()
+    run(a.weights, a.data, a.cfg, a.imgsz, a.batch, a.hard_fail)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,128 @@
+"""MultiBackend: uniform inference over every weight format we emit.
+
+Capability parity with reference models/common.py:558-862 (DetectMultiBackend,
+12 torch-world formats) for the formats that exist in the JAX/TPU world:
+native .ckpt, reference .pt (converted), serialized StableHLO, TF SavedModel,
+frozen GraphDef, TFLite. Suffix-based type detection, uniform
+``forward(images_uint8) -> (B, N, 5+nc)`` raw predictions, ``warmup()``,
+stride/nc/names metadata loading.
+"""
+from __future__ import annotations
+
+import json
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def _load_meta(path):
+    p = Path(str(path) + ".meta.json")
+    if p.exists():
+        return json.loads(p.read_text())
+    return {}
+
+
+class MultiBackend:
+    """forward(images) accepts (B, H, W, 3) uint8 RGB and returns decoded
+    (B, N, 5+nc) predictions regardless of the underlying format."""
+
+    def __init__(self, weights, cfg="lead-yolo", nc=None, img_size: int = 640):
+        w = str(weights)
+        self.type = self._model_type(w)
+        self.meta = _load_meta(w)
+        self.stride = tuple(self.meta.get("stride", (8, 16, 32)))
+        self.names = self.meta.get("names")
+        self.nc = self.meta.get("nc", nc)
+        self.img_size = img_size
+
+        if self.type in ("ckpt", "pt"):
+            from ..cli.val import load_weights
+
+            self.model, self.variables = load_weights(w, cfg, nc=nc)
+            self.nc = self.model.nc
+
+            def fwd(x):
+                preds = self.model.apply(self.variables, jnp.asarray(x).astype(jnp.float32) / 255.0, train=False)
+                return np.asarray(preds[0] if isinstance(preds, tuple) else preds)
+
+            self._fwd = lambda x: fwd(x)
+            self._jit = jax.jit(
+                lambda v, x: self.model.apply(v, x.astype(jnp.float32) / 255.0, train=False, decode=True)
+            )
+            self._fwd = lambda x: np.asarray(self._jit(self.variables, jnp.asarray(x)))
+        elif self.type == "stablehlo":
+            exp = jax.export.deserialize(Path(w).read_bytes())
+            call = jax.jit(exp.call)
+            self._fwd = lambda x: np.asarray(call(jnp.asarray(x, jnp.uint8)))
+        elif self.type == "saved_model":
+            import tensorflow as tf
+
+            m = tf.saved_model.load(w)
+            self._fwd = lambda x: m.f(tf.constant(np.asarray(x, np.uint8))).numpy()
+        elif self.type == "pb":
+            import tensorflow as tf
+
+            gd = tf.compat.v1.GraphDef()
+            gd.ParseFromString(Path(w).read_bytes())
+
+            def wrap(gd, inputs, outputs):
+                x = tf.compat.v1.wrap_function(lambda: tf.compat.v1.import_graph_def(gd, name=""), [])
+                g = x.graph
+                return x.prune(
+                    tf.nest.map_structure(g.as_graph_element, inputs),
+                    tf.nest.map_structure(g.as_graph_element, outputs),
+                )
+
+            ops = [n.name for n in gd.node]
+            inp = next(n for n in ops if "args" in n.lower() or n.startswith("x"))
+            out = ops[-1]
+            self._frozen = wrap(gd, f"{inp}:0", f"{out}:0")
+            self._fwd = lambda x: self._frozen(tf.constant(np.asarray(x, np.uint8))).numpy()
+        elif self.type == "tflite":
+            import tensorflow as tf
+
+            self._interp = tf.lite.Interpreter(model_path=w)
+            self._interp.allocate_tensors()
+            self._in = self._interp.get_input_details()[0]
+            self._out = self._interp.get_output_details()[0]
+
+            def tflite_fwd(x):
+                self._interp.set_tensor(self._in["index"], np.asarray(x, self._in["dtype"]))
+                self._interp.invoke()
+                return self._interp.get_tensor(self._out["index"])
+
+            self._fwd = tflite_fwd
+        else:
+            raise ValueError(f"unsupported weights format: {w}")
+
+    @staticmethod
+    def _model_type(w: str) -> str:
+        """Suffix-based backend detection (reference models/common.py:841-854)."""
+        suffixes = {
+            ".ckpt": "ckpt",
+            ".pt": "pt",
+            ".stablehlo": "stablehlo",
+            ".pb": "pb",
+            ".tflite": "tflite",
+        }
+        for s, t in suffixes.items():
+            if w.endswith(s):
+                return t
+        if Path(w).is_dir() and (Path(w) / "saved_model.pb").exists():
+            return "saved_model"
+        if w.endswith("_saved_model"):
+            return "saved_model"
+        return "unknown"
+
+    def forward(self, images) -> np.ndarray:
+        return np.asarray(self._fwd(images))
+
+    __call__ = forward
+
+    def warmup(self, shape=None):
+        """One dummy inference to trigger compilation (reference
+        models/common.py:833-839)."""
+        shape = shape or (1, self.img_size, self.img_size, 3)
+        self.forward(np.zeros(shape, np.uint8))
