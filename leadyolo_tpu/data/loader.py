@@ -42,6 +42,12 @@ class DataLoader:
         self.epoch = 0
         self.process_index = process_index
         self.process_count = process_count
+        self.weights = None  # optional per-image sampling weights
+
+    def set_weights(self, weights):
+        """Per-image sampling weights for the next epochs (the reference's
+        --image-weights mAP-deficit sampling, train.py:275-278)."""
+        self.weights = None if weights is None else np.asarray(weights, np.float64)
 
     def __len__(self):
         n = len(self._local_indices())
@@ -52,9 +58,15 @@ class DataLoader:
         self.epoch = epoch
 
     def _local_indices(self):
-        idx = list(range(len(self.ds)))
-        if self.shuffle:
-            random.Random(self.seed + self.epoch).shuffle(idx)
+        n = len(self.ds)
+        if self.weights is not None:
+            rng = np.random.default_rng(self.seed + self.epoch)
+            p = self.weights / self.weights.sum()
+            idx = rng.choice(n, size=n, replace=True, p=p).tolist()
+        else:
+            idx = list(range(n))
+            if self.shuffle:
+                random.Random(self.seed + self.epoch).shuffle(idx)
         return idx[self.process_index :: self.process_count]
 
     def __iter__(self):

@@ -356,15 +356,14 @@ class YOLONet(nn.Module):
             from ..nn import functional as F
 
             F.DEFAULT_ACT = self.default_act  # trace-time constant; see functional.py
-        y = {}
-        out = x
+        ys = []  # full per-layer output list (None if not in save-list), so
+        out = x  # negative from-indices (e.g. -2) resolve like the reference
         for i, (m, f) in enumerate(zip(self.layers, self.froms)):
             if f != -1:
                 if isinstance(f, int):
-                    out = y[f]
+                    out = ys[f]
                 else:
-                    out = [out if j == -1 else y[j] for j in f]
+                    out = [out if j == -1 else ys[j] for j in f]
             out = m(out, train=train)
-            if i in self.save:
-                y[i] = out
+            ys.append(out if (i in self.save or i == len(self.layers) - 1) else None)
         return out

@@ -8,7 +8,7 @@ item 5); gradient all-reduce is inserted by XLA from the shardings.
 """
 from __future__ import annotations
 
-from typing import Any, NamedTuple, Optional
+from typing import Any, NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -62,6 +62,7 @@ class TrainConfig(NamedTuple):
     cos_lr: bool = False
     max_grad_norm: float = 10.0
     compute_dtype: Any = jnp.float32
+    freeze: Tuple[int, ...] = ()  # layer indices with frozen params (reference train.py:138-144)
 
 
 def make_train_step(model, cfg: TrainConfig, mesh=None, donate: bool = True):
@@ -103,6 +104,11 @@ def make_train_step(model, cfg: TrainConfig, mesh=None, donate: bool = True):
             return loss, (new_stats["batch_stats"], comps)
 
         (loss, (new_stats, comps)), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+        if cfg.freeze:
+            frozen = {f"layers_{i}" for i in cfg.freeze}
+            grads = {
+                k: jax.tree.map(jnp.zeros_like, g) if k in frozen else g for k, g in grads.items()
+            }
         grads, gnorm = clip_global_norm(grads, cfg.max_grad_norm)
 
         if "g" not in groups_cache:

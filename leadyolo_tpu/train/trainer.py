@@ -73,6 +73,9 @@ def train(
     mesh=None,
     resume=None,
     noval: bool = False,
+    freeze=(),
+    multi_scale: bool = False,
+    image_weights: bool = False,
     log_fn=print,
 ):
     """Train a detector; returns (best_fitness, results dict, save_dir)."""
@@ -121,8 +124,25 @@ def train(
         steps_per_epoch=nb,
         cos_lr=cos_lr,
         compute_dtype=compute_dtype,
+        freeze=tuple(freeze),
     )
     step = make_train_step(model, tcfg, mesh=mesh)
+
+    # Multi-scale: random resize per batch from a STATIC size bucket
+    # (reference train.py:308-313 resizes +-50%; fixed buckets keep XLA
+    # recompiles bounded — SURVEY.md §7 hard part 7)
+    if multi_scale:
+        gs = max(model.strides)
+        scale_sizes = sorted({max(int(img_size * r) // gs * gs, gs) for r in (0.5, 0.75, 1.0, 1.25, 1.5)})
+        _resize = jax.jit(
+            lambda x, s: jnp.clip(
+                jax.image.resize(x.astype(jnp.float32), (x.shape[0], s, s, x.shape[3]), "bilinear"), 0, 255
+            ).astype(jnp.uint8),
+            static_argnums=1,
+        )
+        import random as _random
+
+        _ms_rng = _random.Random(seed + 1)
     state = init_train_state(variables)
     start_epoch, best_fitness = 0, 0.0
 
@@ -146,14 +166,31 @@ def train(
     results = {"mp": 0, "mr": 0, "map50": 0, "map": 0}
     log_fn(f"training {cfg} on {data_cfg.get('train')}: {len(ds)} imgs, {nb} steps/epoch, {epochs} epochs")
 
+    last_per_class = None
     for epoch in range(start_epoch, epochs):
         t0 = time.time()
+        if image_weights and last_per_class is not None:
+            # per-image weights from per-class mAP deficit (reference
+            # train.py:275-278 + utils/general.py:712-737)
+            cw = (1.0 - last_per_class) ** 2
+            iw = np.array(
+                [
+                    (cw[lb[:, 0].astype(int) % len(cw)].sum() + 1e-3) if len(lb) else 1e-3
+                    for lb in ds.labels
+                ]
+            )
+            dl.set_weights(iw)
         dl.set_epoch(epoch)
         # keep metrics as device arrays during the epoch — fetching per step
         # would stall the dispatch pipeline on every iteration
         epoch_metrics = []
         for imgs, targets, tmask in dl:
-            batch = (jnp.asarray(imgs), jnp.asarray(targets), jnp.asarray(tmask))
+            x = jnp.asarray(imgs)
+            if multi_scale:
+                sz = _ms_rng.choice(scale_sizes)
+                if sz != x.shape[1]:
+                    x = _resize(x, sz)
+            batch = (x, jnp.asarray(targets), jnp.asarray(tmask))
             if mesh is not None:
                 batch = shard_batch(mesh, batch)
             state, metrics = step(state, *batch)
@@ -178,6 +215,11 @@ def train(
                     workers=workers,
                 )
                 fi = 0.1 * results["map50"] + 0.9 * results["map"]
+                if results.get("per_class") is not None:
+                    pc = np.zeros(nc)
+                    r = results["per_class"]
+                    pc[r["unique_classes"]] = r["ap_mean"]
+                    last_per_class = pc
             dt = time.time() - t0
             log_fn(
                 f"epoch {epoch + 1}/{epochs}: box {means['box']:.4f} obj {means['obj']:.4f} "

@@ -21,6 +21,8 @@ ALL_CONFIGS = [
     "yolov5s-shufflenetv2",
     "yolov5s-efficientnet",
     "yolov5s-seg",
+    "yolov5s6",
+    "yolov3-tiny",
 ]
 
 
