@@ -37,6 +37,8 @@ def validate(
     names: Optional[dict] = None,
     verbose: bool = False,
     workers: int = 8,
+    save_json: Optional[str] = None,
+    plots_dir: Optional[str] = None,
 ):
     """Evaluate mAP on a directory/txt of YOLO-format images.
 
@@ -69,7 +71,7 @@ def validate(
     confusion = ConfusionMatrix(nc)
     seen = 0
     infer_time = 0.0
-    nb_pad = None
+    json_records = []
 
     for imgs, targets, tmask in dl:
         b = imgs.shape[0]
@@ -97,6 +99,23 @@ def validate(
             correct = process_batch(d, tbox, iouv)
             stats.append((correct, d[:, 4], d[:, 5], tbox[:, 0]))
             confusion.process_batch(d, tbox)
+            if save_json is not None:
+                # COCO-style records (reference val.py:313-336 save_one_json);
+                # boxes stay in letterbox space here — image_id keyed by index
+                from pathlib import Path as _P
+
+                img_file = ds.im_files[seen - 1]
+                stem = _P(img_file).stem
+                image_id = int(stem) if stem.isnumeric() else stem
+                for x1, y1, x2, y2, conf, cls in d:
+                    json_records.append(
+                        {
+                            "image_id": image_id,
+                            "category_id": int(cls),
+                            "bbox": [round(float(x1), 3), round(float(y1), 3), round(float(x2 - x1), 3), round(float(y2 - y1), 3)],
+                            "score": round(float(conf), 5),
+                        }
+                    )
 
     tp = np.concatenate([s[0] for s in stats]) if stats else np.zeros((0, 10), bool)
     conf = np.concatenate([s[1] for s in stats]) if stats else np.zeros(0)
@@ -124,6 +143,21 @@ def validate(
         "per_class": r,
         "confusion": confusion,
     }
+    if save_json is not None:
+        import json as _json
+
+        Path(save_json).parent.mkdir(parents=True, exist_ok=True)
+        Path(save_json).write_text(_json.dumps(json_records))
+    if plots_dir is not None and r is not None:
+        from ..utils.plots import plot_confusion_matrix, plot_mc_curve, plot_pr_curve
+
+        pd = Path(plots_dir)
+        pd.mkdir(parents=True, exist_ok=True)
+        plot_pr_curve(r["px"], r["pr_curve"], r["ap"], pd / "PR_curve.png", names)
+        plot_mc_curve(r["px"], r["f1_curve"], pd / "F1_curve.png", names, ylabel="F1")
+        plot_mc_curve(r["px"], r["p_curve"], pd / "P_curve.png", names, ylabel="Precision")
+        plot_mc_curve(r["px"], r["r_curve"], pd / "R_curve.png", names, ylabel="Recall")
+        plot_confusion_matrix(confusion, names, pd / "confusion_matrix.png")
     if verbose:
         print(f"{'all':>10}{seen:>9}{out['nt']:>9}{mp:>11.3g}{mr:>11.3g}{map50:>11.3g}{mapm:>11.3g}")
         if r is not None and nc > 1 and names:

@@ -78,6 +78,7 @@ def ap_per_class(tp, conf, pred_cls, target_cls, eps: float = 1e-16):
     ap = np.zeros((nc, tp.shape[1]))
     p_curve = np.zeros((nc, 1000))
     r_curve = np.zeros((nc, 1000))
+    pr_curve = np.zeros((nc, 1000))  # precision vs recall grid (for PR plots)
 
     for ci, c in enumerate(unique_classes):
         ic = pred_cls == c
@@ -93,7 +94,9 @@ def ap_per_class(tp, conf, pred_cls, target_cls, eps: float = 1e-16):
         r_curve[ci] = np.interp(-px, -conf[ic], recall[:, 0], left=0)
         p_curve[ci] = np.interp(-px, -conf[ic], precision[:, 0], left=1)
         for j in range(tp.shape[1]):
-            ap[ci, j], _, _ = compute_ap(recall[:, j], precision[:, j])
+            ap[ci, j], mpre, mrec = compute_ap(recall[:, j], precision[:, j])
+            if j == 0:
+                pr_curve[ci] = np.interp(px, mrec, mpre)
 
     f1_curve = 2 * p_curve * r_curve / (p_curve + r_curve + eps)
     i_best = int(f1_curve.mean(0).argmax())
@@ -110,6 +113,7 @@ def ap_per_class(tp, conf, pred_cls, target_cls, eps: float = 1e-16):
         "p_curve": p_curve,
         "r_curve": r_curve,
         "f1_curve": f1_curve,
+        "pr_curve": pr_curve,
     }
 
 

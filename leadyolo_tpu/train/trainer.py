@@ -243,6 +243,22 @@ def train(
                 log_fn(f"early stopping at epoch {epoch} (best {stopper.best_fitness:.4f} @ {stopper.best_epoch})")
                 break
 
-    if is_main_process() and (save_dir / "best.ckpt").exists():
-        strip_optimizer(save_dir / "best.ckpt", save_dir / "best_stripped.ckpt")
+    if is_main_process():
+        if (save_dir / "best.ckpt").exists():
+            strip_optimizer(save_dir / "best.ckpt", save_dir / "best_stripped.ckpt")
+        try:  # end-of-run artifacts (reference results.png / PR curves / labels)
+            from ..utils.plots import plot_labels, plot_results
+
+            plot_results(csv_path)
+            all_labels = np.concatenate([lb for lb in ds.labels if len(lb)]) if any(len(l) for l in ds.labels) else None
+            if all_labels is not None:
+                plot_labels(all_labels, data_cfg.get("names"), save_dir / "labels.png")
+            ema_vars = jax.tree.map(np.asarray, state.ema.variables)
+            validate(
+                model, ema_vars, data_cfg["val"], img_size=img_size, batch_size=batch_size,
+                compute_dtype=compute_dtype, max_targets=max_targets, workers=workers,
+                plots_dir=save_dir, names=data_cfg.get("names"),
+            )
+        except Exception as e:  # plotting must never fail the run
+            log_fn(f"plotting failed: {e}")
     return best_fitness, results, save_dir

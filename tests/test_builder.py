@@ -35,10 +35,10 @@ def test_build_and_forward(name):
     if name.endswith("-seg"):
         outs, proto = outs
         assert proto.shape[-1] == 32
-    assert len(outs) == 3
+    assert len(outs) == len(m.strides)
     na, no = m.head.na, m.head.no
     for o, s in zip(outs, m.strides):
-        assert o.shape == (1, 64 // s, 64 // s, na, no)
+        assert o.shape == (1, max(64 // s, 1), max(64 // s, 1), na, no)
 
 
 @pytest.mark.parametrize(
