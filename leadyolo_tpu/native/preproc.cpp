@@ -1,0 +1,122 @@
+// Native host-side image preprocessing for the TPU feed pipeline.
+//
+// The reference's loader bottoms out in OpenCV's native resize/pad
+// (reference utils/augmentations.py:136-140 letterbox; SURVEY.md §2.9 item 4
+// lists those C++ kernels as ones our build must own). This is our
+// first-party replacement: one pass per image doing INTER_LINEAR resize +
+// 114-gray letterbox padding + BGR->RGB channel swap, written directly into
+// the caller's preallocated NHWC uint8 batch, fanned out over a std::thread
+// pool (no GIL — callers invoke through ctypes with the GIL released).
+//
+// Build: g++ -O3 -march=native -shared -fPIC -std=c++17 -pthread
+//        preproc.cpp -o libpreproc.so
+
+#include <algorithm>
+#include <atomic>
+#include <cmath>
+#include <cstdint>
+#include <cstring>
+#include <thread>
+#include <vector>
+
+namespace {
+
+// Bilinear sample matching cv2.INTER_LINEAR geometry (half-pixel centers).
+inline void resize_bilinear_into(
+    const uint8_t* src, int sh, int sw,            // src HWC (3ch)
+    uint8_t* dst, int dh, int dw, int dst_stride,  // dst row stride in px*3
+    int off_y, int off_x, bool swap_rb) {
+  const float scale_y = static_cast<float>(sh) / dh;
+  const float scale_x = static_cast<float>(sw) / dw;
+  for (int dy = 0; dy < dh; ++dy) {
+    float fy = (dy + 0.5f) * scale_y - 0.5f;
+    int y0 = static_cast<int>(std::floor(fy));
+    float wy = fy - y0;
+    int y1 = std::min(y0 + 1, sh - 1);
+    y0 = std::max(y0, 0);
+    uint8_t* out_row = dst + (static_cast<size_t>(dy + off_y) * dst_stride + off_x) * 3;
+    const uint8_t* row0 = src + static_cast<size_t>(y0) * sw * 3;
+    const uint8_t* row1 = src + static_cast<size_t>(y1) * sw * 3;
+    for (int dx = 0; dx < dw; ++dx) {
+      float fx = (dx + 0.5f) * scale_x - 0.5f;
+      int x0 = static_cast<int>(std::floor(fx));
+      float wx = fx - x0;
+      int x1 = std::min(x0 + 1, sw - 1);
+      x0 = std::max(x0, 0);
+      const float w00 = (1 - wy) * (1 - wx), w01 = (1 - wy) * wx;
+      const float w10 = wy * (1 - wx), w11 = wy * wx;
+      for (int c = 0; c < 3; ++c) {
+        int cc = swap_rb ? 2 - c : c;
+        float v = w00 * row0[x0 * 3 + cc] + w01 * row0[x1 * 3 + cc] +
+                  w10 * row1[x0 * 3 + cc] + w11 * row1[x1 * 3 + cc];
+        out_row[dx * 3 + c] = static_cast<uint8_t>(v + 0.5f);
+      }
+    }
+  }
+}
+
+struct Job {
+  const uint8_t* src;
+  int sh, sw;
+  uint8_t* dst;  // start of this image's (out_h, out_w, 3) slab
+};
+
+}  // namespace
+
+extern "C" {
+
+// Letterbox a batch of images into dst (n, out_h, out_w, 3) uint8.
+// srcs: array of n pointers to HWC uint8 BGR images; shapes: n*(h, w) int32.
+// Writes per-image (gain, pad_x, pad_y) into geom (n*3 float32) so callers
+// can invert boxes exactly like the reference's letterbox return values.
+void letterbox_batch(const uint8_t** srcs, const int32_t* shapes, int n,
+                     uint8_t* dst, int out_h, int out_w, int swap_rb,
+                     int scaleup, float* geom, int num_threads) {
+  std::atomic<int> next{0};
+  auto worker = [&]() {
+    int i;
+    while ((i = next.fetch_add(1)) < n) {
+      const int sh = shapes[i * 2], sw = shapes[i * 2 + 1];
+      float r = std::min(static_cast<float>(out_h) / sh, static_cast<float>(out_w) / sw);
+      if (!scaleup) r = std::min(r, 1.0f);
+      const int nw = static_cast<int>(std::lround(sw * r));
+      const int nh = static_cast<int>(std::lround(sh * r));
+      const float dwf = (out_w - nw) / 2.0f, dhf = (out_h - nh) / 2.0f;
+      // reference rounds pad as round(d - 0.1) on the leading side
+      const int off_x = static_cast<int>(std::lround(dwf - 0.1f));
+      const int off_y = static_cast<int>(std::lround(dhf - 0.1f));
+      uint8_t* slab = dst + static_cast<size_t>(i) * out_h * out_w * 3;
+      std::memset(slab, 114, static_cast<size_t>(out_h) * out_w * 3);
+      resize_bilinear_into(srcs[i], sh, sw, slab, nh, nw, out_w, off_y, off_x, swap_rb != 0);
+      if (geom) {
+        geom[i * 3 + 0] = r;
+        geom[i * 3 + 1] = dwf;
+        geom[i * 3 + 2] = dhf;
+      }
+    }
+  };
+  const int nt = std::max(1, std::min(num_threads, n));
+  std::vector<std::thread> pool;
+  pool.reserve(nt);
+  for (int t = 0; t < nt; ++t) pool.emplace_back(worker);
+  for (auto& th : pool) th.join();
+}
+
+// Plain multithreaded bilinear resize batch (same-size sources), NHWC uint8.
+void resize_batch(const uint8_t* src, int n, int sh, int sw, uint8_t* dst,
+                  int dh, int dw, int num_threads) {
+  std::atomic<int> next{0};
+  auto worker = [&]() {
+    int i;
+    while ((i = next.fetch_add(1)) < n) {
+      resize_bilinear_into(src + static_cast<size_t>(i) * sh * sw * 3, sh, sw,
+                           dst + static_cast<size_t>(i) * dh * dw * 3, dh, dw, dw, 0, 0, false);
+    }
+  };
+  const int nt = std::max(1, std::min(num_threads, n));
+  std::vector<std::thread> pool;
+  for (int t = 0; t < nt; ++t) pool.emplace_back(worker);
+  for (auto& th : pool) th.join();
+}
+
+}  // extern "C"
