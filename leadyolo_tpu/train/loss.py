@@ -136,6 +136,8 @@ def _level_assignments(targets, tmask, anchors_l, ny, nx, anchor_t):
     flat = lambda x: x.reshape(b_sz, -1, *x.shape[4:]) if x.ndim > 4 else x.reshape(b_sz, -1)
     b_idx = jnp.broadcast_to(jnp.arange(b_sz)[:, None, None, None], (b_sz, t_sz, na, 5))
     a_idx = jnp.broadcast_to(jnp.arange(na)[None, None, :, None], (b_sz, t_sz, na, 5))
+    t_idx = jnp.broadcast_to(jnp.arange(t_sz)[None, :, None, None], (b_sz, t_sz, na, 5))
+    xywhn = jnp.broadcast_to(targets[:, :, None, None, 1:5], (b_sz, t_sz, na, 5, 4))
     return (
         flat(b_idx.astype(jnp.int32)),
         flat(a_idx.astype(jnp.int32)),
@@ -145,6 +147,8 @@ def _level_assignments(targets, tmask, anchors_l, ny, nx, anchor_t):
         twh.reshape(b_sz, -1, 2),
         flat(jnp.broadcast_to(cls[:, :, None, None], (b_sz, t_sz, na, 5)).astype(jnp.int32)),
         flat(mask),
+        flat(t_idx.astype(jnp.int32)),
+        xywhn.reshape(b_sz, -1, 4),
     )
 
 
@@ -168,7 +172,7 @@ def compute_loss(preds: Sequence[jax.Array], targets, tmask, cfg: LossConfig):
     for i, pi in enumerate(preds):
         pi = pi.astype(jnp.float32)
         b_sz, ny, nx, na, no = pi.shape
-        b, a, gj, gi, txy, twh, tcls, mask = _level_assignments(
+        b, a, gj, gi, txy, twh, tcls, mask, _, _ = _level_assignments(
             targets, tmask, anchors[i], ny, nx, cfg.anchor_t
         )
         fmask = mask.astype(jnp.float32)
