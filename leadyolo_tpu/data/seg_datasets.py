@@ -1,0 +1,111 @@
+"""Segmentation dataset: polygon labels -> boxes + overlap mask index maps.
+
+Capability parity with reference utils/segment/dataloaders.py
+(LoadImagesAndLabelsAndMasks, overlap_mask mode): YOLO-seg label rows are
+``cls x1 y1 x2 y2 ...`` normalized polygon points; boxes derive from polygon
+extents; masks rasterize to an overlap index map at 1/4 resolution matching
+the Proto output. Round-1 augmentation: letterbox + flips (segments tracked);
+mosaic-with-segments lands with the full seg trainer.
+"""
+from __future__ import annotations
+
+import os
+
+import cv2
+import numpy as np
+
+from ..ops.masks import polygons2masks_overlap
+from .augment import augment_hsv, letterbox
+from .datasets import YoloDataset, img2label_paths
+
+
+def load_seg_label_file(path):
+    """-> (labels (n,5) cls+xywhn, segments list of (m,2) normalized)."""
+    if not os.path.isfile(path):
+        return np.zeros((0, 5), np.float32), []
+    with open(path) as f:
+        rows = [x.split() for x in f.read().strip().splitlines() if len(x)]
+    labels, segments = [], []
+    for r in rows:
+        if len(r) <= 5:  # box-only row
+            labels.append([float(v) for v in r[:5]])
+            segments.append(None)
+        else:
+            cls = float(r[0])
+            pts = np.array(r[1:], np.float32).reshape(-1, 2)
+            x1, y1 = pts.min(0)
+            x2, y2 = pts.max(0)
+            labels.append([cls, (x1 + x2) / 2, (y1 + y2) / 2, x2 - x1, y2 - y1])
+            segments.append(pts)
+    return np.array(labels, np.float32).reshape(-1, 5), segments
+
+
+class SegmentDataset(YoloDataset):
+    """__getitem__ -> (img RGB uint8, labels (n,5), mask_index_map (s/d, s/d))."""
+
+    def __init__(self, *args, downsample_ratio: int = 4, **kwargs):
+        self.downsample_ratio = downsample_ratio
+        super().__init__(*args, **kwargs)
+        self.mosaic = False  # segment mosaic lands with the full seg trainer
+
+    def _load_labels(self, cache_dir):
+        parsed = [load_seg_label_file(p) for p in self.label_files]
+        self.segments = [p[1] for p in parsed]
+        return [p[0] for p in parsed]
+
+    def __getitem__(self, index):
+        img, (h0, w0), (h, w) = self.load_image(index)
+        s = self.img_size
+        img, ratio, pad = letterbox(img, s, auto=False, scaleup=self.augment)
+        labels = self.labels[index].copy()
+        segs = []
+        for seg in self.segments[index]:
+            if seg is None:
+                segs.append(np.zeros((0, 2), np.float32))
+            else:
+                segs.append(seg * np.array([ratio[0] * w, ratio[1] * h]) + np.array(pad))
+        if labels.size:
+            labels[:, 1:] = self._xywhn2xyxy(labels[:, 1:], ratio[0] * w, ratio[1] * h, pad[0], pad[1])
+
+        flip_lr = self.augment and self.rng.random() < self.hyp.get("fliplr", 0.5)
+        if self.augment:
+            augment_hsv(img, self.hyp.get("hsv_h", 0.0), self.hyp.get("hsv_s", 0.0), self.hyp.get("hsv_v", 0.0), rng=self.rng)
+        if flip_lr:
+            img = np.fliplr(img)
+            if labels.size:
+                labels[:, [1, 3]] = img.shape[1] - labels[:, [3, 1]]
+            segs = [np.stack([img.shape[1] - sg[:, 0], sg[:, 1]], 1) if len(sg) else sg for sg in segs]
+
+        # overlap index map in ORIGINAL label-slot order: pixel = slot + 1
+        d = self.downsample_ratio
+        mask_map = np.zeros((s // d, s // d), np.int32)
+        polys = [sg for sg in segs if len(sg)]
+        slot_of = [i for i, sg in enumerate(segs) if len(sg)]
+        if polys:
+            overlap, _ = polygons2masks_overlap((s, s), polys, downsample_ratio=d)
+            # overlap pixels hold (polys index + 1); remap to (label slot + 1)
+            remap = np.zeros(len(polys) + 1, np.int32)
+            for pi, slot in enumerate(slot_of):
+                remap[pi + 1] = slot + 1
+            mask_map = remap[overlap]
+
+        nl = len(labels)
+        if nl:
+            labels[:, 1:5] = self._xyxy2xywhn(labels[:, 1:5], img.shape[1], img.shape[0])
+        img = np.ascontiguousarray(img[:, :, ::-1])
+        return img, labels.astype(np.float32), mask_map
+
+    def collate(self, samples):
+        imgs = np.stack([s[0] for s in samples])
+        b, t = len(samples), self.max_targets
+        targets = np.zeros((b, t, 5), np.float32)
+        tmask = np.zeros((b, t), bool)
+        maps = np.stack([s[2] for s in samples])
+        for i, (_, lb, _) in enumerate(samples):
+            n = min(len(lb), t)
+            if n:
+                targets[i, :n] = lb[:n]
+                tmask[i, :n] = True
+        # clip map indices beyond the target budget
+        maps = np.where(maps > t, 0, maps)
+        return imgs, targets, tmask, maps

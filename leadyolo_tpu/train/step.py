@@ -65,18 +65,21 @@ class TrainConfig(NamedTuple):
     freeze: Tuple[int, ...] = ()  # layer indices with frozen params (reference train.py:138-144)
 
 
-def make_train_step(model, cfg: TrainConfig, mesh=None, donate: bool = True):
+def make_train_step(model, cfg: TrainConfig, mesh=None, donate: bool = True, seg_cfg=None):
     """Build the jitted train step.
 
-    step(state, images(B,H,W,3) float in [0,1], targets(B,T,5), tmask(B,T))
+    step(state, images(B,H,W,3) float in [0,1], targets(B,T,5), tmask(B,T)
+         [, mask_maps(B,mh,mw) when seg_cfg is given])
       -> (state, metrics dict)
 
     When ``mesh`` is given, inputs are expected batch-sharded on the leading
     axis and all state replicated; XLA derives the gradient all-reduce.
+    With ``seg_cfg`` (a SegLossConfig) the model must end in a Segment head
+    and the loss adds the prototype-mask term.
     """
     groups_cache = {}
 
-    def step_fn(state: TrainState, images, targets, tmask):
+    def step_fn(state: TrainState, images, targets, tmask, mask_maps=None):
         lf = (one_cycle_lf if cfg.cos_lr else linear_lf)(
             state.step.astype(jnp.float32) / cfg.steps_per_epoch, cfg.epochs, cfg.lrf
         )
@@ -98,9 +101,15 @@ def make_train_step(model, cfg: TrainConfig, mesh=None, donate: bool = True):
             outs, new_stats = model.net.apply(
                 {"params": params, "batch_stats": state.batch_stats}, x, train=True, mutable=["batch_stats"]
             )
-            if isinstance(outs, tuple) and len(outs) == 2 and not isinstance(outs[0], jax.Array):
-                outs = outs[0]  # segment head: (dets, proto)
-            loss, comps = compute_loss(outs, targets, tmask, cfg.loss)
+            if seg_cfg is not None:
+                from .seg_loss import compute_seg_loss
+
+                dets, proto = outs
+                loss, comps = compute_seg_loss(dets, proto, targets, tmask, mask_maps, seg_cfg)
+            else:
+                if isinstance(outs, tuple) and len(outs) == 2 and not isinstance(outs[0], jax.Array):
+                    outs = outs[0]  # segment head trained with the box-only loss
+                loss, comps = compute_loss(outs, targets, tmask, cfg.loss)
             return loss, (new_stats["batch_stats"], comps)
 
         (loss, (new_stats, comps)), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)

@@ -1,0 +1,69 @@
+"""Segmentation dataset + end-to-end seg train step."""
+import cv2
+import jax
+import numpy as np
+import pytest
+
+from leadyolo_tpu.data.seg_datasets import SegmentDataset, load_seg_label_file
+
+
+@pytest.fixture
+def seg_root(tmp_path):
+    (tmp_path / "images" / "train").mkdir(parents=True)
+    (tmp_path / "labels" / "train").mkdir(parents=True)
+    rng = np.random.default_rng(0)
+    for i in range(4):
+        img = (rng.uniform(0, 255, (96, 128, 3))).astype(np.uint8)
+        cv2.imwrite(str(tmp_path / "images" / "train" / f"{i}.jpg"), img)
+        # one polygon instance + one box row
+        (tmp_path / "labels" / "train" / f"{i}.txt").write_text(
+            "0 0.2 0.2 0.4 0.2 0.4 0.5 0.2 0.5\n"  # polygon (4 pts)
+            "0 0.7 0.7 0.2 0.2\n"  # plain box
+        )
+    return tmp_path / "images" / "train"
+
+
+def test_load_seg_label_file(tmp_path):
+    p = tmp_path / "x.txt"
+    p.write_text("1 0.1 0.1 0.5 0.1 0.5 0.6 0.1 0.6\n")
+    labels, segs = load_seg_label_file(p)
+    assert labels.shape == (1, 5)
+    np.testing.assert_allclose(labels[0], [1, 0.3, 0.35, 0.4, 0.5], atol=1e-5)
+    assert segs[0].shape == (4, 2)
+
+
+def test_segment_dataset(seg_root):
+    ds = SegmentDataset(seg_root, img_size=128, augment=False, max_targets=8)
+    img, labels, mask_map = ds[0]
+    assert img.shape == (128, 128, 3)
+    assert len(labels) == 2
+    assert mask_map.shape == (32, 32)
+    assert mask_map.max() == 1  # polygon instance is slot 0 -> value 1
+    imgs, targets, tmask, maps = ds.collate([ds[i] for i in range(4)])
+    assert maps.shape == (4, 32, 32) and tmask.sum() == 8
+
+
+def test_seg_train_step(seg_root):
+    import jax.numpy as jnp
+
+    from leadyolo_tpu.models.yolo import DetectionModel
+    from leadyolo_tpu.train import TrainConfig, init_train_state, make_train_step
+    from leadyolo_tpu.train.loss import LossConfig
+    from leadyolo_tpu.train.seg_loss import SegLossConfig
+
+    model = DetectionModel("yolov5s-seg", nc=2, img_size=128)
+    v = model.init(jax.random.PRNGKey(0), img_size=128)
+    lcfg = LossConfig.from_hyp(model, {}, imgsz=128)
+    scfg = SegLossConfig(
+        nc=2, anchors=lcfg.anchors, strides=lcfg.strides,
+        box_w=lcfg.box_w, obj_w=lcfg.obj_w, cls_w=lcfg.cls_w, mask_budget=8,
+    )
+    tcfg = TrainConfig(loss=lcfg, warmup_steps=2, epochs=2, steps_per_epoch=2)
+    step = make_train_step(model, tcfg, donate=False, seg_cfg=scfg)
+
+    ds = SegmentDataset(seg_root, img_size=128, augment=False, max_targets=8)
+    imgs, targets, tmask, maps = ds.collate([ds[i] for i in range(4)])
+    state = init_train_state(v)
+    state, metrics = step(state, jnp.asarray(imgs), jnp.asarray(targets), jnp.asarray(tmask), jnp.asarray(maps))
+    assert np.isfinite(float(metrics["loss"]))
+    assert float(metrics["seg"]) > 0
