@@ -93,6 +93,7 @@ def greedy_suppress(boxes, active, iou_thres, tile: int = 256):
         "max_nms",
         "max_wh",
         "nc",
+        "backend",
     ),
 )
 def non_max_suppression(
@@ -106,6 +107,9 @@ def non_max_suppression(
     max_nms: int = 4096,
     max_wh: float = 7680.0,
     nc: int | None = None,
+    backend: str = "xla",  # 'xla' (vmapped, batch-friendly) | 'pallas'
+    # (single-kernel VMEM-resident suppression — fastest for standalone
+    # large-K calls; see ops/pallas_nms.py)
 ):
     """Batched NMS over raw detector output ``prediction`` (B, N, 5+nc).
 
@@ -158,7 +162,12 @@ def non_max_suppression(
 
         active = top_scores > conf_thres
         offset = 0.0 if agnostic else cls_idx[:, None] * max_wh
-        keep = greedy_suppress(top_boxes + offset, active, iou_thres)
+        if backend == "pallas":
+            from .pallas_nms import greedy_suppress_pallas
+
+            keep = greedy_suppress_pallas(top_boxes + offset, active, iou_thres)
+        else:
+            keep = greedy_suppress(top_boxes + offset, active, iou_thres)
 
         # Select top max_det kept, preserving score order (already sorted).
         kept_scores = jnp.where(keep, top_scores, -1.0)
