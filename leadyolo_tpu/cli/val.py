@@ -53,7 +53,17 @@ def run(
 ):
     data_cfg = resolve_data(data)
     model, variables = load_weights(weights, cfg, nc=data_cfg["nc"])
-    split = data_cfg.get(task) or data_cfg["val"]
+    split = data_cfg.get(task if task != "study" else "val") or data_cfg["val"]
+    if task == "study":
+        # resolution sweep (reference val.py:400-411): mAP + latency per size
+        rows = []
+        for sz in range(256, 1024 + 64, 128):
+            r = validate(model, variables, split, img_size=sz, batch_size=batch_size,
+                         conf_thres=conf_thres, iou_thres=iou_thres, max_det=max_det,
+                         compute_dtype=jnp.bfloat16 if half else jnp.float32, workers=workers)
+            rows.append((sz, r["map50"], r["map"], r["speed_ms"]))
+            print(f"study {sz}px: mAP50 {r['map50']:.4f} mAP {r['map']:.4f} {r['speed_ms']:.2f} ms/img")
+        return rows
     res = validate(
         model,
         variables,

@@ -147,3 +147,36 @@ def extract_boxes(path, out_dir=None):
                 cv2.imwrite(str(d / f"{img_file.stem}_{j}.jpg"), crop)
                 n += 1
     return n
+
+
+def hub_dataset_stats(data_yaml, out_json=None):
+    """Dataset statistics JSON: per-split image/instance counts and per-class
+    histograms (reference utils/dataloaders.py:1042-1161 HUBDatasetStats)."""
+    from .datasets import YoloDataset, check_dataset
+
+    d = check_dataset(data_yaml)
+    stats = {"nc": d["nc"], "names": d.get("names"), "splits": {}}
+    for split in ("train", "val", "test"):
+        if not d.get(split):
+            continue
+        try:
+            ds = YoloDataset(d[split], augment=False)
+        except (AssertionError, FileNotFoundError):
+            continue
+        import numpy as _np
+
+        counts = _np.zeros(d["nc"], int)
+        inst = 0
+        for lb in ds.labels:
+            inst += len(lb)
+            for c in lb[:, 0].astype(int):
+                if 0 <= c < d["nc"]:
+                    counts[c] += 1
+        stats["splits"][split] = {
+            "images": len(ds),
+            "instances": inst,
+            "per_class": counts.tolist(),
+        }
+    if out_json:
+        Path(out_json).write_text(json.dumps(stats, indent=1))
+    return stats

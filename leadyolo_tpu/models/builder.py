@@ -60,6 +60,7 @@ from ..nn import (
     ZeroPad2dLayer,
 )
 from .heads import Detect, Segment, Classify
+from ..nn.extra import iRMB
 
 
 def make_divisible(x, divisor=8):
@@ -236,6 +237,8 @@ def _build_ch_module(name, c1, c2, rest, n, act):
         return G_bneck(c2, midc, k, s, use_se), c2
     if name == "stem":
         return Stem(c2, rest[0] if rest else "relu6"), c2
+    if name == "iRMB":
+        return iRMB(c2, *rest[:0]), c2
     if name == "MBConvBlock":
         k, s, expand = (rest + [3, 1, 1])[:3]
         drop = rest[3] if len(rest) > 3 else 0.0
@@ -250,6 +253,7 @@ CH_MODULES = {
     "C3TR", "C3SPP", "C3Ghost", "C3_CA", "BasicStage", "PatchEmbed_FasterNet",
     "PatchMerging_FasterNet", "RFAConv", "RFCAConv", "RFCBAMConv", "Conv_BN_HSwish",
     "MobileNetV3_InvertedResidual", "Shuffle_Block", "CBRM", "G_bneck", "stem", "MBConvBlock",
+    "iRMB",
 }
 
 # Blocks whose repeat count folds inside the block itself

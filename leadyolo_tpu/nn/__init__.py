@@ -52,3 +52,4 @@ from .backbones import (
     Shuffle_Block,
     Stem,
 )
+from .extra import DecoupledHead, iRMB

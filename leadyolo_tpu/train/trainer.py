@@ -76,6 +76,7 @@ def train(
     freeze=(),
     multi_scale: bool = False,
     image_weights: bool = False,
+    noautoanchor: bool = False,
     log_fn=print,
 ):
     """Train a detector; returns (best_fitness, results dict, save_dir)."""
@@ -105,6 +106,15 @@ def train(
     )
     nb = len(dl)
     warmup_steps = max(round(hyp.get("warmup_epochs", 3.0) * nb), 100)
+
+    if not noautoanchor and model.is_detect:
+        # BPR gate + anchor evolution (reference train.py:226-229)
+        from ..utils.autoanchor import check_anchors
+
+        new_anchors = check_anchors(ds, model, thr=hyp.get("anchor_t", 4.0), imgsz=img_size, log_fn=log_fn)
+        if not np.allclose(new_anchors, model.anchors_px):
+            model.anchors_px = new_anchors
+            model.anchors_grid = new_anchors / np.asarray(model.strides, np.float32)[:, None, None]
 
     # weight decay scaled by total-batch/nominal-64 (reference train.py:156-158)
     accumulate = max(round(64 / batch_size), 1)

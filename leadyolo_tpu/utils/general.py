@@ -89,3 +89,41 @@ def check_bf16(model, variables, img_size=256, tol=0.1, log_fn=print) -> bool:
     ok = bool(same_argmax and box_close)
     log_fn(f"bf16 check: {'PASS' if ok else 'FAIL — falling back to fp32'}")
     return ok
+
+
+class TryExcept:
+    """Context/decorator that logs and swallows exceptions
+    (reference utils/__init__.py:16-27)."""
+
+    def __init__(self, msg=""):
+        self.msg = msg
+
+    def __call__(self, fn):
+        import functools
+
+        @functools.wraps(fn)
+        def wrapper(*a, **k):
+            with self:
+                return fn(*a, **k)
+
+        return wrapper
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, exc_type, value, tb):
+        if value:
+            print(f"{self.msg}{': ' if self.msg else ''}{value}")
+        return True
+
+
+def threaded(fn):
+    """Run a function in a daemon thread (reference utils/__init__.py:30-37)."""
+    import threading
+
+    def wrapper(*a, **k):
+        t = threading.Thread(target=fn, args=a, kwargs=k, daemon=True)
+        t.start()
+        return t
+
+    return wrapper
