@@ -10,6 +10,7 @@ matching like the reference's scale_boxes path gives identical TPs).
 from __future__ import annotations
 
 import time
+from pathlib import Path
 from typing import Optional
 
 import jax

@@ -63,6 +63,7 @@ class TrainConfig(NamedTuple):
     max_grad_norm: float = 10.0
     compute_dtype: Any = jnp.float32
     freeze: Tuple[int, ...] = ()  # layer indices with frozen params (reference train.py:138-144)
+    accumulate: int = 1  # micro-batch gradient accumulation (reference train.py:156-157, 330-341)
 
 
 def make_train_step(model, cfg: TrainConfig, mesh=None, donate: bool = True, seg_cfg=None):
@@ -112,7 +113,45 @@ def make_train_step(model, cfg: TrainConfig, mesh=None, donate: bool = True, seg
                 loss, comps = compute_loss(outs, targets, tmask, cfg.loss)
             return loss, (new_stats["batch_stats"], comps)
 
-        (loss, (new_stats, comps)), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+        if cfg.accumulate > 1:
+            # micro-batch scan: grads sum (like torch backward accumulation),
+            # BN stats update sequentially per micro-batch
+            acc = cfg.accumulate
+            micro = images.shape[0] // acc
+
+            def reshape_micro(x):
+                return x.reshape((acc, micro) + x.shape[1:])
+
+            m_images, m_targets, m_tmask = (reshape_micro(v) for v in (images, targets, tmask))
+
+            def micro_body(carry, xs):
+                stats_c, grads_c, loss_c = carry
+                im, tg, tm = xs
+
+                def micro_loss(params):
+                    x = im.astype(cfg.compute_dtype)
+                    if im.dtype == jnp.uint8:
+                        x = x / 255.0
+                    outs, new_s = model.net.apply(
+                        {"params": params, "batch_stats": stats_c}, x, train=True, mutable=["batch_stats"]
+                    )
+                    if isinstance(outs, tuple) and len(outs) == 2 and not isinstance(outs[0], jax.Array):
+                        outs = outs[0]
+                    l, comps_i = compute_loss(outs, tg, tm, cfg.loss)
+                    return l, (new_s["batch_stats"], comps_i)
+
+                (l, (new_s, comps_i)), g = jax.value_and_grad(micro_loss, has_aux=True)(state.params)
+                grads_c = jax.tree.map(jnp.add, grads_c, g)
+                return (new_s, grads_c, loss_c + l), comps_i
+
+            zero_grads = jax.tree.map(jnp.zeros_like, state.params)
+            (new_stats, grads, loss), comps_seq = jax.lax.scan(
+                micro_body, (state.batch_stats, zero_grads, jnp.zeros(())), (m_images, m_targets, m_tmask)
+            )
+            comps = jax.tree.map(lambda x: x.mean(), comps_seq)
+            loss = loss / acc
+        else:
+            (loss, (new_stats, comps)), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
         if cfg.freeze:
             frozen = {f"layers_{i}" for i in cfg.freeze}
             grads = {

@@ -77,6 +77,8 @@ def train(
     multi_scale: bool = False,
     image_weights: bool = False,
     noautoanchor: bool = False,
+    callbacks=None,
+    loggers=("csv", "tb"),
     log_fn=print,
 ):
     """Train a detector; returns (best_fitness, results dict, save_dir)."""
@@ -165,6 +167,14 @@ def train(
     if mesh is not None:
         state = replicate(mesh, state)
 
+    from ..utils.callbacks import Callbacks
+    from ..utils.loggers import Loggers
+
+    callbacks = callbacks or Callbacks()
+    multiplex = Loggers(save_dir, include=loggers, log_fn=log_fn) if is_main_process() else None
+    callbacks.run("on_pretrain_routine_end")
+    callbacks.run("on_train_start")
+
     stopper = EarlyStopping(patience)
     csv_path = save_dir / "results.csv"
     if not csv_path.exists() and is_main_process():
@@ -243,8 +253,20 @@ def train(
                      f"{results['map']:.5f}", f"{lr_now:.6f}", f"{dt:.1f}"]
                 )
 
+            if multiplex is not None:
+                multiplex.log_metrics(
+                    {
+                        "train/box_loss": means["box"], "train/obj_loss": means["obj"],
+                        "train/cls_loss": means["cls"], "metrics/precision": results["mp"],
+                        "metrics/recall": results["mr"], "metrics/mAP_0.5": results["map50"],
+                        "metrics/mAP_0.5:0.95": results["map"], "x/lr": lr_now,
+                    },
+                    epoch,
+                )
+            callbacks.run("on_fit_epoch_end", epoch, results)
             meta = {"epoch": epoch, "best_fitness": max(best_fitness, fi), "cfg": str(cfg), "nc": nc}
             save_checkpoint(save_dir / "last.ckpt", jax.device_get(state), meta)
+            callbacks.run("on_model_save", epoch)
             if fi >= best_fitness:
                 best_fitness = fi
                 save_checkpoint(save_dir / "best.ckpt", jax.device_get(state), meta)
@@ -271,4 +293,7 @@ def train(
             )
         except Exception as e:  # plotting must never fail the run
             log_fn(f"plotting failed: {e}")
+        if multiplex is not None:
+            multiplex.close()
+    callbacks.run("on_train_end")
     return best_fitness, results, save_dir

@@ -125,3 +125,18 @@ def test_ema_ramp():
     d1 = 0.9999 * (1 - np.exp(-1 / 2000))
     np.testing.assert_allclose(np.asarray(st.variables["params"]["w"]), 1 - d1, rtol=1e-5)
     np.testing.assert_allclose(np.asarray(st.variables["batch_stats"]["m"]), 1 - d1, rtol=1e-5)
+
+
+def test_grad_accumulation_runs():
+    from leadyolo_tpu.train import TrainConfig as TC
+
+    model, v, tcfg, imgs, targets, tmask = _setup(batch=4)
+    tcfg_acc = tcfg._replace(accumulate=2)
+    step = make_train_step(model, tcfg_acc, donate=False)
+    state = init_train_state(v)
+    losses = []
+    for _ in range(3):
+        state, m = step(state, imgs, targets, tmask)
+        losses.append(float(m["loss"]))
+        assert np.isfinite(losses[-1])
+    assert losses[-1] < losses[0]
