@@ -14,7 +14,7 @@ Every block takes (x, train=False); BN running stats live in the
 from __future__ import annotations
 
 import math
-from typing import Any, Optional, Sequence, Tuple
+from typing import Any, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -22,9 +22,6 @@ from flax import linen as nn
 
 from .functional import (
     autopad,
-    avg_pool2d,
-    adaptive_avg_pool_hw,
-    channel_shuffle,
     conv2d,
     conv_transpose2d,
     depth_to_space,
