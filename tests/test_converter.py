@@ -1,0 +1,71 @@
+"""Reference .pt checkpoint conversion — the strongest end-to-end parity
+evidence: stub-unpickle a real reference checkpoint, map every tensor into
+our flax tree, and reproduce its detection quality on real SSDD images.
+Skipped when the reference mount is absent."""
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+REF = Path("/root/reference")
+CKPT = REF / "experiment results/yolov5s+shuffleNetv2(SSDD)/weights/best.pt"
+
+pytestmark = pytest.mark.skipif(not CKPT.exists(), reason="reference checkpoint not mounted")
+
+
+@pytest.fixture(scope="module")
+def converted():
+    from leadyolo_tpu.models.yolo import DetectionModel
+    from leadyolo_tpu.utils.torch_convert import load_reference_checkpoint
+
+    model = DetectionModel("yolov5s-shufflenetv2", nc=1)
+    variables, meta, report = load_reference_checkpoint(model, CKPT)
+    return model, variables, meta, report
+
+
+def test_all_tensors_convert(converted):
+    _, _, meta, report = converted
+    assert report["missing"] == []
+    assert report["unused"] == []
+    assert report["matched"] == 266
+    assert meta["nc"] == 1
+    np.testing.assert_allclose(meta["stride"], [8, 16, 32])
+
+
+def test_converted_checkpoint_detects_ships(converted):
+    """Mini-eval on 16 SSDD test images: the converted model must reproduce
+    reference-grade detection quality (published AP50 96.5 on the full set)."""
+    from leadyolo_tpu.data.datasets import YoloDataset
+    from leadyolo_tpu.ops.metrics import ap_per_class, process_batch
+    from leadyolo_tpu.ops.nms import non_max_suppression
+
+    model, variables, _, _ = converted
+    ds = YoloDataset(str(REF / "data/SSDD/images/test"), img_size=640, augment=False, max_targets=64)
+
+    n = 16
+    imgs, lbs = zip(*(ds[i] for i in range(n)))
+    x = jnp.asarray(np.stack(imgs), jnp.float32) / 255.0
+    preds = model.apply(variables, x, train=False, decode=True)
+    det, valid = non_max_suppression(preds, conf_thres=0.001, iou_thres=0.6, max_det=300, max_nms=2048)
+    det, valid = np.asarray(det), np.asarray(valid)
+
+    iouv = np.linspace(0.5, 0.95, 10)
+    stats = []
+    for i, lb in enumerate(lbs):
+        d = det[i][valid[i]]
+        tb = np.zeros((len(lb), 5), np.float32)
+        if len(lb):
+            tb[:, 0] = lb[:, 0]
+            cx, cy, w, h = (lb[:, j] * 640 for j in (1, 2, 3, 4))
+            tb[:, 1:] = np.stack([cx - w / 2, cy - h / 2, cx + w / 2, cy + h / 2], 1)
+        stats.append((process_batch(d, tb, iouv), d[:, 4], d[:, 5], tb[:, 0]))
+
+    r = ap_per_class(
+        np.concatenate([s[0] for s in stats]),
+        np.concatenate([s[1] for s in stats]),
+        np.concatenate([s[2] for s in stats]),
+        np.concatenate([s[3] for s in stats]),
+    )
+    assert float(r["ap50"].mean()) > 0.85, r["ap50"]
