@@ -32,7 +32,7 @@ def main():
     @jax.jit
     def infer(variables, images):
         preds = model.apply(variables, images.astype(jnp.bfloat16), train=False, decode=True)
-        det, valid = non_max_suppression(
+        det, valid, _ = non_max_suppression(
             preds.astype(jnp.float32), conf_thres=0.25, iou_thres=0.45, max_det=300, max_nms=1024
         )
         return det, valid

@@ -60,7 +60,7 @@ def run(weights, data="ssdd", cfg="lead-yolo", imgsz=640, batch=1, hard_fail=Non
                 t0 = time.perf_counter()
                 preds = backend.forward(x)
                 t_total += time.perf_counter() - t0
-                det, valid = non_max_suppression(
+                det, valid, _ = non_max_suppression(
                     jnp.asarray(preds[: len(ims)], jnp.float32), conf_thres=0.001, iou_thres=0.6,
                     multi_label=data_cfg["nc"] > 1, max_det=300, nc=data_cfg["nc"],
                 )

@@ -118,7 +118,7 @@ def run(
         t0 = time.perf_counter()
         im, _, _ = letterbox(im0, imgsz, auto=False)
         x = jnp.asarray(im[None, :, :, ::-1].copy())  # BGR->RGB NHWC
-        det, valid = infer(variables, x)
+        det, valid, _ = infer(variables, x)
         det = np.asarray(det[0])[np.asarray(valid[0])]
         if len(det):
             det[:, :4] = np.asarray(scale_boxes((imgsz, imgsz), jnp.asarray(det[:, :4]), im0.shape[:2]))

@@ -57,7 +57,7 @@ def validate(
         preds = model.apply(variables, x, train=False, decode=True)
         if isinstance(preds, tuple):
             preds = preds[0]
-        det, valid = non_max_suppression(
+        det, valid, _ = non_max_suppression(
             preds.astype(jnp.float32),
             conf_thres=conf_thres,
             iou_thres=iou_thres,

@@ -93,7 +93,7 @@ class AutoShape:
         batch = np.stack(
             [letterbox(im, size, auto=False)[0][:, :, ::-1] for im, _ in loaded]
         ).copy()  # BGR->RGB
-        det, valid = self._infer(
+        det, valid, _ = self._infer(
             self.variables,
             jnp.asarray(batch),
             conf=self.conf,

@@ -117,6 +117,9 @@ def non_max_suppression(
 
     - ``det``   (B, max_det, 6): (x1, y1, x2, y2, conf, cls), zero-padded
     - ``valid`` (B, max_det) bool mask
+    - ``box_idx`` (B, max_det) int32 — index of each kept detection's source
+      box in the input N axis (always returned; lets callers gather per-box
+      extras such as segment mask coefficients through the suppression)
 
     Matches reference utils/general.py:884-994 semantics: obj-conf gate, then
     conf = obj * cls, multi-label expansion or best-class, class-offset boxes,
@@ -139,9 +142,9 @@ def non_max_suppression(
                 scores_flat = jnp.where(jnp.tile(cls_ok, n), scores_flat, 0.0)
             kk = min(max_nms, scores_flat.shape[0])
             top_scores, top_idx = jax.lax.top_k(scores_flat, kk)
-            box_idx = top_idx // nc
+            src_idx = top_idx // nc
             cls_idx = (top_idx % nc).astype(jnp.float32)
-            top_boxes = boxes[box_idx]
+            top_boxes = boxes[src_idx]
         else:
             conf = jnp.max(cls_conf, axis=1)
             cls_idx_all = jnp.argmax(cls_conf, axis=1)
@@ -151,6 +154,7 @@ def non_max_suppression(
                 score = jnp.where(cls_ok[cls_idx_all], score, 0.0)
             kk = min(max_nms, n)
             top_scores, top_idx = jax.lax.top_k(score, kk)
+            src_idx = top_idx
             top_boxes = boxes[top_idx]
             cls_idx = cls_idx_all[top_idx].astype(jnp.float32)
 
@@ -159,6 +163,7 @@ def non_max_suppression(
             top_scores = jnp.pad(top_scores, (0, pad))
             top_boxes = jnp.pad(top_boxes, ((0, pad), (0, 0)))
             cls_idx = jnp.pad(cls_idx, (0, pad))
+            src_idx = jnp.pad(src_idx, (0, pad))
 
         active = top_scores > conf_thres
         offset = 0.0 if agnostic else cls_idx[:, None] * max_wh
@@ -177,6 +182,7 @@ def non_max_suppression(
             [top_boxes[out_idx], out_scores[:, None], cls_idx[out_idx, None]], axis=1
         )
         det = jnp.where(out_valid[:, None], det, 0.0)
-        return det, out_valid
+        out_src = jnp.where(out_valid, src_idx[out_idx], 0).astype(jnp.int32)
+        return det, out_valid, out_src
 
     return jax.vmap(one_image)(prediction)

@@ -48,7 +48,7 @@ def test_converted_checkpoint_detects_ships(converted):
     imgs, lbs = zip(*(ds[i] for i in range(n)))
     x = jnp.asarray(np.stack(imgs), jnp.float32) / 255.0
     preds = model.apply(variables, x, train=False, decode=True)
-    det, valid = non_max_suppression(preds, conf_thres=0.001, iou_thres=0.6, max_det=300, max_nms=2048)
+    det, valid, _ = non_max_suppression(preds, conf_thres=0.001, iou_thres=0.6, max_det=300, max_nms=2048)
     det, valid = np.asarray(det), np.asarray(valid)
 
     iouv = np.linspace(0.5, 0.95, 10)

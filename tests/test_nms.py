@@ -74,7 +74,7 @@ def test_nms_basic_best_class():
         [0.9, 0.8, 0.7],
         [[0.9, 0.1], [0.9, 0.1], [0.2, 0.8]],
     )
-    det, valid = non_max_suppression(pred, conf_thres=0.25, iou_thres=0.45, max_det=10, max_nms=64)
+    det, valid, _ = non_max_suppression(pred, conf_thres=0.25, iou_thres=0.45, max_det=10, max_nms=64)
     det, valid = np.asarray(det[0]), np.asarray(valid[0])
     assert valid.sum() == 2
     # best box first (conf 0.81), then the distant one (0.56)
@@ -92,10 +92,10 @@ def test_nms_class_offset_keeps_different_classes():
         [0.9, 0.8],
         [[1.0, 0.0], [0.0, 1.0]],
     )
-    det, valid = non_max_suppression(pred, conf_thres=0.25, iou_thres=0.45, max_det=10, max_nms=64)
+    det, valid, _ = non_max_suppression(pred, conf_thres=0.25, iou_thres=0.45, max_det=10, max_nms=64)
     assert int(np.asarray(valid[0]).sum()) == 2
     # agnostic mode suppresses the second
-    det, valid = non_max_suppression(
+    det, valid, _ = non_max_suppression(
         pred, conf_thres=0.25, iou_thres=0.45, max_det=10, max_nms=64, agnostic=True
     )
     assert int(np.asarray(valid[0]).sum()) == 1
@@ -104,7 +104,7 @@ def test_nms_class_offset_keeps_different_classes():
 def test_nms_multi_label_expansion():
     # one box confidently two classes -> two detections in multi_label mode
     pred = _mk_pred([[100, 100, 50, 50]], [0.9], [[0.9, 0.8]])
-    det, valid = non_max_suppression(
+    det, valid, _ = non_max_suppression(
         pred, conf_thres=0.25, iou_thres=0.45, multi_label=True, max_det=10, max_nms=64
     )
     det, valid = np.asarray(det[0]), np.asarray(valid[0])
@@ -114,7 +114,7 @@ def test_nms_multi_label_expansion():
 
 def test_nms_conf_threshold_and_padding():
     pred = _mk_pred([[100, 100, 50, 50]], [0.1], [[0.9, 0.1]])  # obj below 0.25
-    det, valid = non_max_suppression(pred, conf_thres=0.25, max_det=10, max_nms=64)
+    det, valid, _ = non_max_suppression(pred, conf_thres=0.25, max_det=10, max_nms=64)
     assert int(np.asarray(valid[0]).sum()) == 0
     np.testing.assert_allclose(np.asarray(det[0]), 0.0)
 
@@ -125,7 +125,7 @@ def test_nms_classes_filter():
         [0.9, 0.9],
         [[1.0, 0.0], [0.0, 1.0]],
     )
-    det, valid = non_max_suppression(pred, conf_thres=0.25, classes=(1,), max_det=10, max_nms=64)
+    det, valid, _ = non_max_suppression(pred, conf_thres=0.25, classes=(1,), max_det=10, max_nms=64)
     det, valid = np.asarray(det[0]), np.asarray(valid[0])
     assert valid.sum() == 1
     assert det[0, 5] == 1.0
@@ -135,5 +135,5 @@ def test_nms_max_det_cap():
     n = 32
     boxes = [[50 + 100 * i, 50, 20, 20] for i in range(n)]  # all disjoint
     pred = _mk_pred(boxes, [0.9] * n, [[1.0]] * n)
-    det, valid = non_max_suppression(pred, conf_thres=0.25, max_det=5, max_nms=64)
+    det, valid, _ = non_max_suppression(pred, conf_thres=0.25, max_det=5, max_nms=64)
     assert int(np.asarray(valid[0]).sum()) == 5

@@ -67,3 +67,18 @@ def test_seg_train_step(seg_root):
     state, metrics = step(state, jnp.asarray(imgs), jnp.asarray(targets), jnp.asarray(tmask), jnp.asarray(maps))
     assert np.isfinite(float(metrics["loss"]))
     assert float(metrics["seg"]) > 0
+
+
+def test_seg_validator_runs(seg_root):
+    import jax.numpy as jnp
+
+    from leadyolo_tpu.eval.seg_validator import validate_seg
+    from leadyolo_tpu.models.yolo import DetectionModel
+
+    model = DetectionModel("yolov5s-seg", nc=2, img_size=128)
+    v = model.init(jax.random.PRNGKey(0), img_size=128)
+    res = validate_seg(model, v, seg_root, img_size=128, batch_size=4, max_targets=8, workers=2)
+    assert res["seen"] == 4
+    for k in ("box", "mask"):
+        for m in ("mp", "mr", "map50", "map"):
+            assert np.isfinite(res[k][m])
