@@ -69,3 +69,20 @@ def test_converted_checkpoint_detects_ships(converted):
         np.concatenate([s[3] for s in stats]),
     )
     assert float(r["ap50"].mean()) > 0.85, r["ap50"]
+
+
+def test_autoshape_end_to_end(converted):
+    """Hub-style API on a real SSDD image: load anything -> letterbox ->
+    infer -> NMS -> native-space boxes."""
+    from leadyolo_tpu.models.autoshape import AutoShape
+
+    model, variables, meta, _ = converted
+    shape_api = AutoShape(model, variables, names=meta.get("names"), size=640)
+    img_path = sorted((REF / "data/SSDD/images/test").glob("*.jpg"))[0]
+    results = shape_api(str(img_path))
+    assert len(results) == 1
+    det = results.pred[0]
+    assert det.shape[1] == 6
+    assert len(det) >= 1  # at least one ship found on a real test image
+    df = results.pandas().xyxy[0]
+    assert "name" in df.columns
