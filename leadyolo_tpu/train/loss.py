@@ -190,8 +190,13 @@ def compute_loss(preds: Sequence[jax.Array], targets, tmask, cfg: LossConfig):
         safe = jnp.concatenate([txy, twh], axis=-1)
         unit = jnp.array([0.5, 0.5, 1.0, 1.0], jnp.float32)
         tbox = jnp.where(mask[..., None], safe, unit)
-        iou = bbox_iou(pbox, tbox, xywh=True, kind=cfg.iou_kind)  # (B, R)
-        lbox = lbox + ((1.0 - iou) * fmask).sum() / n_pos
+        if cfg.iou_kind == "wiou":
+            # WIoU v1 (reference utils/loss.py:146-148): distance-weighted
+            iou, dist = bbox_iou(pbox, tbox, xywh=True, kind="wiou")
+            lbox = lbox + (jax.lax.stop_gradient(dist) * (1.0 - iou) * fmask).sum() / n_pos
+        else:
+            iou = bbox_iou(pbox, tbox, xywh=True, kind=cfg.iou_kind)  # (B, R)
+            lbox = lbox + ((1.0 - iou) * fmask).sum() / n_pos
 
         # objectness target map via segment-max of clamped IoU
         iou_d = jnp.clip(jax.lax.stop_gradient(iou), 0.0, None)

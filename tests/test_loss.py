@@ -111,3 +111,19 @@ def test_bce_with_logits_matches_torch(rng):
 def test_smooth_bce():
     cp, cn = smooth_bce(0.1)
     assert cp == 0.95 and cn == 0.05
+
+
+def test_loss_wiou_kind(rng):
+    preds, targets, tmask, _ = _make_case(rng)
+    cfg = LossConfig(
+        nc=3, anchors=tuple(map(tuple, _grid_anchors().reshape(3, -1).tolist())),
+        strides=STRIDES, iou_kind="wiou",
+    )
+    total, comps = compute_loss([jnp.asarray(p) for p in preds], jnp.asarray(targets), jnp.asarray(tmask), cfg)
+    assert np.isfinite(float(total)) and float(comps["box"]) > 0
+
+    def f(ps):
+        return compute_loss(ps, jnp.asarray(targets), jnp.asarray(tmask), cfg)[0]
+
+    grads = jax.grad(f)([jnp.asarray(p) for p in preds])
+    assert all(np.isfinite(np.asarray(g)).all() for g in grads)
