@@ -23,7 +23,7 @@ def _grid_anchors():
 def _make_case(rng, b=2, t=6, nc=3, img=64, spread=True):
     """Random predictions + targets. ``spread`` places targets in distinct
     regions so no two assignments collide on one (anchor, cell) — the one
-    situation where the oracle's last-write and our segment-max may差."""
+    situation where the oracle's last-write and our segment-max may differ."""
     na, no = 3, nc + 5
     shapes = [(img // s, img // s) for s in STRIDES]
     preds_nhwc = [rng.standard_normal((b, ny, nx, na, no), dtype=np.float32) for ny, nx in shapes]
