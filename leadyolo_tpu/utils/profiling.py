@@ -79,14 +79,36 @@ def time_fn(fn, *args, iters: int = 10, warmup: int = 2) -> float:
 
 
 def profile_layers(model, variables, img_size: int = 640, log_fn=print):
-    """Per-layer output shapes + cumulative cost (reference BaseModel
-    _profile_one_layer, models/yolo.py:197-211) via eval_shape — no compute."""
+    """Per-layer table: type, from, params, output shape (the reference's
+    parse_model print + --line-profile, models/yolo.py:197-211 & :481) via
+    one eval_shape graph walk — zero compute."""
     x = jnp.zeros((1, img_size, img_size, model.ch), jnp.float32)
-    rows = []
+    net = model.net
+    params = variables["params"]
 
-    # run the graph walk manually, recording shapes by eval_shape per prefix
-    out_shapes = jax.eval_shape(lambda v, x: model.net.apply(v, x, train=False, capture_intermediates=False), variables, x)
-    log_fn(f"full-model output spec: {jax.tree.map(lambda s: s.shape, out_shapes)}")
+    captured = []
+
+    def walk(v, x):
+        ys = []
+        out = x
+        for i, (m, f) in enumerate(zip(net.layers, net.froms)):
+            if f != -1:
+                out = ys[f] if isinstance(f, int) else [out if j == -1 else ys[j] for j in f]
+            out = m.apply({"params": v["params"].get(f"layers_{i}", {}),
+                           "batch_stats": v.get("batch_stats", {}).get(f"layers_{i}", {})}, out, train=False)
+            captured.append(jax.tree.map(lambda t: getattr(t, "shape", None), out))
+            ys.append(out if (i in net.save or i == len(net.layers) - 1) else None)
+        return out
+
+    jax.eval_shape(walk, variables, x)
+    rows = []
+    log_fn(f"{'':>3}{'from':>12}{'params':>10}  {'module':<28}{'output'}")
+    for i, (m, f) in enumerate(zip(net.layers, net.froms)):
+        n_p = sum(int(np.prod(p.shape)) for p in jax.tree.leaves(params.get(f"layers_{i}", {})))
+        shape = captured[i] if i < len(captured) else "?"
+        row = (i, f, n_p, type(m).__name__, shape)
+        rows.append(row)
+        log_fn(f"{i:>3}{str(f):>12}{n_p:>10}  {type(m).__name__:<28}{shape}")
     return rows
 
 

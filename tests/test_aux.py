@@ -81,3 +81,17 @@ def test_checkpoint_roundtrip(tmp_path):
     assert meta["epoch"] == 3
     assert int(restored.step) == 7
     np.testing.assert_allclose(np.asarray(restored.params["w"]), 1.0)
+
+
+def test_profile_layers():
+    import jax
+
+    from leadyolo_tpu.models.yolo import DetectionModel
+    from leadyolo_tpu.utils.profiling import profile_layers
+
+    m = DetectionModel("yolov5n", nc=2)
+    v = m.init(jax.random.PRNGKey(0), img_size=64)
+    rows = profile_layers(m, v, img_size=64, log_fn=lambda *a: None)
+    assert len(rows) == len(m.net.layers)
+    total = sum(r[2] for r in rows)
+    assert total == m.num_params(v)
