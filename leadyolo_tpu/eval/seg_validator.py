@@ -58,7 +58,6 @@ def validate_seg(
     nc = model.nc
     nm = model.head.nm
     iouv = np.linspace(0.5, 0.95, 10)
-
     ds = SegmentDataset(data_path, img_size=img_size, augment=False, max_targets=max_targets)
     dl = DataLoader(ds, batch_size, shuffle=False, drop_last=False, workers=workers)
 

@@ -9,7 +9,6 @@ jax.process_index().
 from __future__ import annotations
 
 import csv
-import math
 import time
 from pathlib import Path
 
@@ -22,11 +21,11 @@ from ..data.datasets import YoloDataset, check_dataset
 from ..data.loader import DataLoader
 from ..eval.validator import validate
 from ..models.yolo import DetectionModel
-from ..parallel.mesh import is_main_process, make_mesh, replicate, shard_batch
+from ..parallel.mesh import is_main_process, replicate, shard_batch
 from ..utils.checkpoint import load_checkpoint, save_checkpoint, strip_optimizer
 from .loss import LossConfig
 from .optim import EarlyStopping
-from .step import TrainConfig, TrainState, init_train_state, make_train_step
+from .step import TrainConfig, init_train_state, make_train_step
 
 HYP_DIR = Path(__file__).parent.parent / "data" / "hyps"
 DATA_DIR = Path(__file__).parent.parent / "data" / "configs"
