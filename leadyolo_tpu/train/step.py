@@ -152,8 +152,8 @@ def make_train_step(model, cfg: TrainConfig, mesh=None, donate: bool = True, seg
             loss = loss / acc
         else:
             (loss, (new_stats, comps)), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
-        if cfg.freeze:
-            frozen = {f"layers_{i}" for i in cfg.freeze}
+        frozen = {f"layers_{i}" for i in cfg.freeze} if cfg.freeze else set()
+        if frozen:
             grads = {
                 k: jax.tree.map(jnp.zeros_like, g) if k in frozen else g for k, g in grads.items()
             }
@@ -171,6 +171,10 @@ def make_train_step(model, cfg: TrainConfig, mesh=None, donate: bool = True, seg
             weight_decay=cfg.weight_decay,
             groups=groups_cache["g"],
         )
+        if frozen:
+            # requires_grad=False semantics: frozen layers never move,
+            # including via weight decay (reference train.py:138-144)
+            new_params = {k: state.params[k] if k in frozen else v for k, v in new_params.items()}
         new_ema = ema_update(state.ema, {"params": new_params, "batch_stats": new_stats})
         new_state = TrainState(new_params, new_stats, new_opt, new_ema, state.step + 1)
         metrics = {"loss": loss, "grad_norm": gnorm, "lr": lr_main, **comps}

@@ -140,3 +140,21 @@ def test_grad_accumulation_runs():
         losses.append(float(m["loss"]))
         assert np.isfinite(losses[-1])
     assert losses[-1] < losses[0]
+
+
+def test_freeze_zeroes_layer_grads():
+    model, v, tcfg, imgs, targets, tmask = _setup(batch=2)
+    tcfg_f = tcfg._replace(freeze=(0, 1))
+    step = make_train_step(model, tcfg_f, donate=False)
+    state0 = init_train_state(v)
+    state1, _ = step(state0, imgs, targets, tmask)
+    # frozen layers unchanged (up to weight-decay-free identity)
+    for i in (0, 1):
+        k = f"layers_{i}"
+        a = jax.tree.leaves(state0.params[k])[0]
+        b = jax.tree.leaves(state1.params[k])[0]
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # an unfrozen layer moved
+    a = jax.tree.leaves(state0.params["layers_4"])[0]
+    b = jax.tree.leaves(state1.params["layers_4"])[0]
+    assert not np.array_equal(np.asarray(a), np.asarray(b))
