@@ -83,6 +83,7 @@ def run(
     nosave: bool = False,
     classes=None,
     agnostic_nms: bool = False,
+    augment: bool = False,
     vid_stride: int = 1,
     names: dict | None = None,
     log_fn=print,
@@ -99,7 +100,10 @@ def run(
     @jax.jit
     def infer(variables, im):
         x = im.astype(jnp.bfloat16) / 255.0
-        preds = model.apply(variables, x, train=False, decode=True)
+        if augment:  # TTA: scale+flip ensemble (reference detect.py:57 --augment)
+            preds = model.apply_augmented(variables, x)
+        else:
+            preds = model.apply(variables, x, train=False, decode=True)
         if isinstance(preds, tuple):
             preds = preds[0]
         return non_max_suppression(
@@ -164,6 +168,7 @@ def parse_opt():
     p.add_argument("--nosave", action="store_true")
     p.add_argument("--classes", nargs="+", type=int)
     p.add_argument("--agnostic-nms", action="store_true")
+    p.add_argument("--augment", action="store_true", help="TTA scale+flip ensemble")
     p.add_argument("--vid-stride", type=int, default=1)
     return p.parse_args()
 

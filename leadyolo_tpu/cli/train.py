@@ -9,7 +9,7 @@ from ..parallel.mesh import make_mesh
 from ..train.trainer import train
 
 
-def parse_opt():
+def parse_opt(argv=None):
     p = argparse.ArgumentParser()
     p.add_argument("--cfg", type=str, default="lead-yolo", help="model config name/path")
     p.add_argument("--data", type=str, default="ssdd", help="dataset yaml name/path")
@@ -27,21 +27,32 @@ def parse_opt():
     p.add_argument("--resume", type=str, default=None)
     p.add_argument("--fp32", action="store_true", help="disable bf16 compute")
     p.add_argument("--multichip", action="store_true", help="data-parallel over all local devices")
-    return p.parse_args()
+    p.add_argument("--freeze", type=int, nargs="+", default=[], help="freeze layer indices (reference train.py:138-144)")
+    p.add_argument("--multi-scale", action="store_true", help="random-resize batches over static buckets")
+    p.add_argument("--image-weights", action="store_true", help="sample images by per-class mAP deficit")
+    p.add_argument("--noautoanchor", action="store_true")
+    p.add_argument(
+        "--accumulate", type=int, default=-1,
+        help="micro-batches per optimizer step; -1 = auto max(round(64/bs),1), 1 = off (reference train.py:156)",
+    )
+    p.add_argument(
+        "--evolve", type=int, nargs="?", const=30, default=None,
+        help="evolve hyperparameters for N generations (reference train.py:546-636)",
+    )
+    return p.parse_args(argv)
 
 
-def main():
-    opt = parse_opt()
+def run_train(opt, hyp=None, save_dir=None, **overrides):
     mesh = make_mesh() if opt.multichip else None
-    train(
+    kwargs = dict(
         cfg=opt.cfg,
         data=opt.data,
-        hyp=opt.hyp,
+        hyp=hyp if hyp is not None else opt.hyp,
         epochs=opt.epochs,
         batch_size=opt.batch_size,
         img_size=opt.imgsz,
         workers=opt.workers,
-        save_dir=opt.save_dir,
+        save_dir=save_dir or opt.save_dir,
         compute_dtype=jnp.float32 if opt.fp32 else jnp.bfloat16,
         cos_lr=opt.cos_lr,
         patience=opt.patience,
@@ -50,7 +61,36 @@ def main():
         seed=opt.seed,
         resume=opt.resume,
         mesh=mesh,
+        freeze=tuple(opt.freeze),
+        multi_scale=opt.multi_scale,
+        image_weights=opt.image_weights,
+        noautoanchor=opt.noautoanchor,
+        accumulate=opt.accumulate,
     )
+    kwargs.update(overrides)
+    return train(**kwargs)
+
+
+def main(argv=None):
+    opt = parse_opt(argv)
+    if opt.evolve:
+        # GA over the hyp space: each generation is a short train run whose
+        # fitness feeds parent selection (reference train.py:546-636)
+        from ..train.evolve import evolve
+        from ..train.trainer import load_hyp
+
+        base_hyp = load_hyp(opt.hyp)
+        gen = [0]
+
+        def train_fn(hyp):
+            gen[0] += 1
+            best_fi, _, _ = run_train(opt, hyp=hyp, save_dir=f"{opt.save_dir}/gen{gen[0]}")
+            return best_fi
+
+        best = evolve(base_hyp, train_fn, generations=opt.evolve, save_dir=opt.save_dir, seed=opt.seed)
+        print(f"evolved hyp: {best}")
+        return best
+    return run_train(opt)
 
 
 if __name__ == "__main__":

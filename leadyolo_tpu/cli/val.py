@@ -50,6 +50,7 @@ def run(
     half=True,
     workers=8,
     verbose=True,
+    augment=False,
 ):
     data_cfg = resolve_data(data)
     model, variables = load_weights(weights, cfg, nc=data_cfg["nc"])
@@ -77,6 +78,7 @@ def run(
         names=data_cfg.get("names"),
         verbose=verbose,
         workers=workers,
+        augment=augment,
     )
     print(
         f"P {res['mp']:.4f}  R {res['mr']:.4f}  mAP50 {res['map50']:.4f}  mAP50-95 {res['map']:.4f}  "
@@ -98,6 +100,7 @@ def parse_opt():
     p.add_argument("--task", type=str, default="val", choices=["train", "val", "test", "speed"])
     p.add_argument("--no-half", dest="half", action="store_false")
     p.add_argument("--workers", type=int, default=8)
+    p.add_argument("--augment", action="store_true", help="TTA scale+flip ensemble")
     return p.parse_args()
 
 

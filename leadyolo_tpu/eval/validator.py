@@ -40,6 +40,7 @@ def validate(
     workers: int = 8,
     save_json: Optional[str] = None,
     plots_dir: Optional[str] = None,
+    augment: bool = False,
 ):
     """Evaluate mAP on a directory/txt of YOLO-format images.
 
@@ -54,7 +55,10 @@ def validate(
     @jax.jit
     def infer(variables, images):
         x = images.astype(compute_dtype) / 255.0
-        preds = model.apply(variables, x, train=False, decode=True)
+        if augment:  # TTA: scale+flip ensemble (reference val.py --augment)
+            preds = model.apply_augmented(variables, x)
+        else:
+            preds = model.apply(variables, x, train=False, decode=True)
         if isinstance(preds, tuple):
             preds = preds[0]
         det, valid, _ = non_max_suppression(

@@ -160,7 +160,9 @@ def compute_loss(preds: Sequence[jax.Array], targets, tmask, cfg: LossConfig):
     batch size like the reference (utils/loss.py:189-191).
     """
     nl = len(preds)
-    balance = BALANCE.get(nl, BALANCE[3])
+    # any nl != 3 falls back to the 5-element table (reference utils/loss.py:112);
+    # a 4-level P6 model indexes the first four entries
+    balance = BALANCE.get(nl, BALANCE[5])
     anchors = jnp.asarray(cfg.anchors, jnp.float32).reshape(nl, -1, 2)
     cp, cn = smooth_bce(cfg.label_smoothing)
     bs = preds[0].shape[0]

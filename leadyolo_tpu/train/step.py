@@ -80,6 +80,25 @@ def make_train_step(model, cfg: TrainConfig, mesh=None, donate: bool = True, seg
     """
     groups_cache = {}
 
+    def batch_loss(params, stats, im, tg, tm, mm):
+        # uint8 batches cross PCIe/ICI at 1 byte/px and normalize on device
+        x = im.astype(cfg.compute_dtype)
+        if im.dtype == jnp.uint8:
+            x = x / 255.0
+        outs, new_stats = model.net.apply(
+            {"params": params, "batch_stats": stats}, x, train=True, mutable=["batch_stats"]
+        )
+        if seg_cfg is not None:
+            from .seg_loss import compute_seg_loss
+
+            dets, proto = outs
+            loss, comps = compute_seg_loss(dets, proto, tg, tm, mm, seg_cfg)
+        else:
+            if isinstance(outs, tuple) and len(outs) == 2 and not isinstance(outs[0], jax.Array):
+                outs = outs[0]  # segment head trained with the box-only loss
+            loss, comps = compute_loss(outs, tg, tm, cfg.loss)
+        return loss, (new_stats["batch_stats"], comps)
+
     def step_fn(state: TrainState, images, targets, tmask, mask_maps=None):
         lf = (one_cycle_lf if cfg.cos_lr else linear_lf)(
             state.step.astype(jnp.float32) / cfg.steps_per_epoch, cfg.epochs, cfg.lrf
@@ -94,64 +113,40 @@ def make_train_step(model, cfg: TrainConfig, mesh=None, donate: bool = True, seg
             cfg.warmup_bias_lr,
         )
 
-        def loss_fn(params):
-            # uint8 batches cross PCIe/ICI at 1 byte/px and normalize on device
-            x = images.astype(cfg.compute_dtype)
-            if images.dtype == jnp.uint8:
-                x = x / 255.0
-            outs, new_stats = model.net.apply(
-                {"params": params, "batch_stats": state.batch_stats}, x, train=True, mutable=["batch_stats"]
-            )
-            if seg_cfg is not None:
-                from .seg_loss import compute_seg_loss
-
-                dets, proto = outs
-                loss, comps = compute_seg_loss(dets, proto, targets, tmask, mask_maps, seg_cfg)
-            else:
-                if isinstance(outs, tuple) and len(outs) == 2 and not isinstance(outs[0], jax.Array):
-                    outs = outs[0]  # segment head trained with the box-only loss
-                loss, comps = compute_loss(outs, targets, tmask, cfg.loss)
-            return loss, (new_stats["batch_stats"], comps)
-
         if cfg.accumulate > 1:
-            # micro-batch scan: grads sum (like torch backward accumulation),
-            # BN stats update sequentially per micro-batch
+            # micro-batch scan: grads sum (like torch backward accumulation,
+            # reference train.py:327-341), BN stats update sequentially per
+            # micro-batch; peak activation memory stays at one micro-batch
             acc = cfg.accumulate
             micro = images.shape[0] // acc
 
             def reshape_micro(x):
                 return x.reshape((acc, micro) + x.shape[1:])
 
-            m_images, m_targets, m_tmask = (reshape_micro(v) for v in (images, targets, tmask))
+            xs = [reshape_micro(v) for v in (images, targets, tmask)]
+            if seg_cfg is not None:
+                xs.append(reshape_micro(mask_maps))
 
-            def micro_body(carry, xs):
+            def micro_body(carry, xs_i):
                 stats_c, grads_c, loss_c = carry
-                im, tg, tm = xs
-
-                def micro_loss(params):
-                    x = im.astype(cfg.compute_dtype)
-                    if im.dtype == jnp.uint8:
-                        x = x / 255.0
-                    outs, new_s = model.net.apply(
-                        {"params": params, "batch_stats": stats_c}, x, train=True, mutable=["batch_stats"]
-                    )
-                    if isinstance(outs, tuple) and len(outs) == 2 and not isinstance(outs[0], jax.Array):
-                        outs = outs[0]
-                    l, comps_i = compute_loss(outs, tg, tm, cfg.loss)
-                    return l, (new_s["batch_stats"], comps_i)
-
-                (l, (new_s, comps_i)), g = jax.value_and_grad(micro_loss, has_aux=True)(state.params)
+                im, tg, tm = xs_i[:3]
+                mm = xs_i[3] if seg_cfg is not None else None
+                (l, (new_s, comps_i)), g = jax.value_and_grad(batch_loss, has_aux=True)(
+                    state.params, stats_c, im, tg, tm, mm
+                )
                 grads_c = jax.tree.map(jnp.add, grads_c, g)
                 return (new_s, grads_c, loss_c + l), comps_i
 
             zero_grads = jax.tree.map(jnp.zeros_like, state.params)
             (new_stats, grads, loss), comps_seq = jax.lax.scan(
-                micro_body, (state.batch_stats, zero_grads, jnp.zeros(())), (m_images, m_targets, m_tmask)
+                micro_body, (state.batch_stats, zero_grads, jnp.zeros(())), tuple(xs)
             )
             comps = jax.tree.map(lambda x: x.mean(), comps_seq)
             loss = loss / acc
         else:
-            (loss, (new_stats, comps)), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+            (loss, (new_stats, comps)), grads = jax.value_and_grad(batch_loss, has_aux=True)(
+                state.params, state.batch_stats, images, targets, tmask, mask_maps
+            )
         frozen = {f"layers_{i}" for i in cfg.freeze} if cfg.freeze else set()
         if frozen:
             grads = {
@@ -185,9 +180,10 @@ def make_train_step(model, cfg: TrainConfig, mesh=None, donate: bool = True, seg
 
     rep = replicated(mesh)
     data = batch_sharding(mesh)
+    n_in = 5 if seg_cfg is not None else 4
     return jax.jit(
         step_fn,
-        in_shardings=(rep, data, data, data),
+        in_shardings=(rep,) + (data,) * (n_in - 1),
         out_shardings=(rep, rep),
         donate_argnums=(0,) if donate else (),
     )

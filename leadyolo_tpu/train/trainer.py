@@ -75,6 +75,7 @@ def train(
     freeze=(),
     multi_scale: bool = False,
     image_weights: bool = False,
+    accumulate: int = -1,
     noautoanchor: bool = False,
     callbacks=None,
     loggers=("csv", "tb"),
@@ -96,17 +97,33 @@ def train(
     ds = YoloDataset(
         data_cfg["train"], img_size=img_size, augment=True, hyp=hyp, max_targets=max_targets, seed=seed
     )
+
+    # gradient accumulation to a nominal total batch of 64 (reference
+    # train.py:156-158).  The loader yields the full optimizer batch; the
+    # jitted step scans over `accumulate` micro-batches of `batch_size`, so
+    # peak activation memory stays at one micro-batch.
+    if accumulate < 1:
+        accumulate = max(round(64 / batch_size), 1)
+    # never accumulate past the per-host dataset: total_batch > n would mean
+    # ZERO optimizer steps per epoch (silent no-op training on tiny sets)
+    n_local = max(len(ds) // max(jax.process_count(), 1), 1)
+    accumulate = max(min(accumulate, n_local // max(batch_size, 1)), 1)
+    total_batch = batch_size * accumulate
+
     dl = DataLoader(
         ds,
-        batch_size,
+        total_batch,
         shuffle=True,
         workers=workers,
         seed=seed,
         process_index=jax.process_index(),
         process_count=jax.process_count(),
     )
-    nb = len(dl)
-    warmup_steps = max(round(hyp.get("warmup_epochs", 3.0) * nb), 100)
+    nb = len(dl)  # optimizer steps per epoch
+    assert nb > 0, f"batch_size {batch_size} exceeds per-host dataset size {n_local}"
+    # warmup spans max(3 epochs, 100 integrated batches) of micro-iterations
+    # (reference train.py:251); our step counter counts optimizer steps
+    warmup_steps = max(round(hyp.get("warmup_epochs", 3.0) * nb), -(-100 // accumulate))
 
     if not noautoanchor and model.is_detect:
         # BPR gate + anchor evolution (reference train.py:226-229)
@@ -118,8 +135,7 @@ def train(
             model.anchors_grid = new_anchors / np.asarray(model.strides, np.float32)[:, None, None]
 
     # weight decay scaled by total-batch/nominal-64 (reference train.py:156-158)
-    accumulate = max(round(64 / batch_size), 1)
-    wd = hyp.get("weight_decay", 5e-4) * batch_size * accumulate / 64
+    wd = hyp.get("weight_decay", 5e-4) * total_batch / 64
 
     lcfg = LossConfig.from_hyp(model, hyp, imgsz=img_size)
     tcfg = TrainConfig(
@@ -136,6 +152,7 @@ def train(
         cos_lr=cos_lr,
         compute_dtype=compute_dtype,
         freeze=tuple(freeze),
+        accumulate=accumulate,
     )
     step = make_train_step(model, tcfg, mesh=mesh)
 
@@ -220,6 +237,7 @@ def train(
         lr_now = float(np.asarray(epoch_metrics[-1]["lr"])) if epoch_metrics else 0.0
 
         fi = 0.0
+        stop = False
         if is_main_process():
             ema_vars = jax.tree.map(np.asarray, state.ema.variables)
             if not noval and (epoch % val_every == 0 or epoch == epochs - 1):
@@ -272,7 +290,17 @@ def train(
 
             if stopper(epoch, fi):
                 log_fn(f"early stopping at epoch {epoch} (best {stopper.best_fitness:.4f} @ {stopper.best_epoch})")
-                break
+                stop = True
+
+        # broadcast the stop decision so every process exits the same epoch —
+        # otherwise non-main processes hang in the next step's collectives
+        # (reference train.py:408-414 broadcast_object_list)
+        if jax.process_count() > 1:
+            from jax.experimental import multihost_utils
+
+            stop = bool(multihost_utils.broadcast_one_to_all(jnp.asarray(stop)))
+        if stop:
+            break
 
     if is_main_process():
         if (save_dir / "best.ckpt").exists():

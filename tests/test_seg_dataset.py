@@ -69,6 +69,34 @@ def test_seg_train_step(seg_root):
     assert float(metrics["seg"]) > 0
 
 
+def test_seg_train_step_with_accumulation(seg_root):
+    """Micro-batch accumulation must keep the prototype-mask loss term
+    (the scan path threads mask_maps through)."""
+    import jax.numpy as jnp
+
+    from leadyolo_tpu.models.yolo import DetectionModel
+    from leadyolo_tpu.train import TrainConfig, init_train_state, make_train_step
+    from leadyolo_tpu.train.loss import LossConfig
+    from leadyolo_tpu.train.seg_loss import SegLossConfig
+
+    model = DetectionModel("yolov5s-seg", nc=2, img_size=128)
+    v = model.init(jax.random.PRNGKey(0), img_size=128)
+    lcfg = LossConfig.from_hyp(model, {}, imgsz=128)
+    scfg = SegLossConfig(
+        nc=2, anchors=lcfg.anchors, strides=lcfg.strides,
+        box_w=lcfg.box_w, obj_w=lcfg.obj_w, cls_w=lcfg.cls_w, mask_budget=8,
+    )
+    tcfg = TrainConfig(loss=lcfg, warmup_steps=2, epochs=2, steps_per_epoch=2, accumulate=2)
+    step = make_train_step(model, tcfg, donate=False, seg_cfg=scfg)
+
+    ds = SegmentDataset(seg_root, img_size=128, augment=False, max_targets=8)
+    imgs, targets, tmask, maps = ds.collate([ds[i] for i in range(4)])
+    state = init_train_state(v)
+    state, metrics = step(state, jnp.asarray(imgs), jnp.asarray(targets), jnp.asarray(tmask), jnp.asarray(maps))
+    assert np.isfinite(float(metrics["loss"]))
+    assert float(metrics["seg"]) > 0
+
+
 def test_seg_validator_runs(seg_root):
     import jax.numpy as jnp
 

@@ -142,6 +142,68 @@ def test_grad_accumulation_runs():
     assert losses[-1] < losses[0]
 
 
+def test_grad_accumulation_matches_micro_loop():
+    """The accumulate>1 scan must equal a manual per-micro-batch loop:
+    grads sum (torch backward-accumulation semantics), BN stats thread
+    sequentially, and the optimizer applies ONE update on the summed grads."""
+    from leadyolo_tpu.train.loss import compute_loss
+    from leadyolo_tpu.train.optim import (
+        clip_global_norm,
+        linear_lf,
+        param_groups,
+        sgd_update,
+        warmup_scalars,
+    )
+
+    model, v, tcfg, imgs, targets, tmask = _setup(batch=4)
+    acc = 2
+    step = make_train_step(model, tcfg._replace(accumulate=acc), donate=False)
+    s0 = init_train_state(v)
+    s1, m = step(s0, imgs, targets, tmask)
+
+    # manual micro loop
+    micro = imgs.shape[0] // acc
+
+    def loss_fn(params, stats, im, tg, tm):
+        outs, new_s = model.net.apply(
+            {"params": params, "batch_stats": stats},
+            im.astype(tcfg.compute_dtype),
+            train=True,
+            mutable=["batch_stats"],
+        )
+        l, _ = compute_loss(outs, tg, tm, tcfg.loss)
+        return l, new_s["batch_stats"]
+
+    stats = s0.batch_stats
+    grads = jax.tree.map(jnp.zeros_like, s0.params)
+    total = 0.0
+    for k in range(acc):
+        sl = slice(k * micro, (k + 1) * micro)
+        (l, stats), g = jax.value_and_grad(loss_fn, has_aux=True)(
+            s0.params, stats, imgs[sl], targets[sl], tmask[sl]
+        )
+        grads = jax.tree.map(jnp.add, grads, g)
+        total += float(l)
+
+    np.testing.assert_allclose(float(m["loss"]), total / acc, rtol=1e-4)
+    for a, b in zip(jax.tree.leaves(s1.batch_stats), jax.tree.leaves(stats)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-6)
+
+    # reconstruct the single optimizer update from the summed grads
+    lf = linear_lf(jnp.zeros(()), tcfg.epochs, tcfg.lrf)
+    lr_main, lr_bias, mom = warmup_scalars(
+        jnp.zeros(()), float(tcfg.warmup_steps), tcfg.lr0, lf, tcfg.momentum,
+        tcfg.warmup_momentum, tcfg.warmup_bias_lr,
+    )
+    grads, _ = clip_global_norm(grads, tcfg.max_grad_norm)
+    exp_params, _ = sgd_update(
+        s0.params, grads, s0.opt, lr_main=lr_main, lr_bias=lr_bias, momentum=mom,
+        weight_decay=tcfg.weight_decay, groups=param_groups(s0.params),
+    )
+    for a, b in zip(jax.tree.leaves(s1.params), jax.tree.leaves(exp_params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-6)
+
+
 def test_freeze_zeroes_layer_grads():
     model, v, tcfg, imgs, targets, tmask = _setup(batch=2)
     tcfg_f = tcfg._replace(freeze=(0, 1))
