@@ -1,73 +1,166 @@
-"""Host-side image augmentation: letterbox, HSV, perspective, mosaic helpers.
+"""Host-side image augmentation for the loader workers.
 
-Capability parity with reference utils/augmentations.py (letterbox :111-141,
-random_perspective :144-237, augment_hsv :67-80, copy_paste :240-259, cutout
-:262-286, mixup :289-294). These run on CPU in loader workers feeding the
-device; geometry and rounding follow the reference exactly (cv2 INTER_LINEAR,
-114-gray padding, BGR color space during augmentation) because small
-preprocessing diffs shift mAP (SURVEY.md §7 hard part 4).
+Behavioral counterpart of the reference's augmentation module
+(utils/augmentations.py:22-294): aspect-preserving letterbox, LUT-based HSV
+jitter, combined affine/perspective warp, cutout, segment copy-paste, mixup.
+
+The *numeric contract* — cv2 INTER_LINEAR resize, 114-gray padding, BGR color
+space during augmentation, warp-matrix composition order, rounding, and the
+seeded RNG draw order — is preserved exactly, because small preprocessing
+diffs shift mAP (SURVEY.md §7 hard part 4). It is pinned bit-for-bit by
+tests/test_augment_golden.py; restructure freely under that gate.
 """
 from __future__ import annotations
 
+import functools
 import math
+import operator
 import random
+from dataclasses import dataclass
 
 import cv2
 import numpy as np
 
+GRAY = (114, 114, 114)  # pad/fill value the detector was trained around
 
-def letterbox(im, new_shape=(640, 640), color=(114, 114, 114), auto=True, scale_fill=False, scaleup=True, stride=32):
-    """Aspect-preserving resize + pad. Returns (im, ratio, (dw, dh))."""
-    shape = im.shape[:2]  # h, w
-    if isinstance(new_shape, int):
-        new_shape = (new_shape, new_shape)
 
-    r = min(new_shape[0] / shape[0], new_shape[1] / shape[1])
-    if not scaleup:
-        r = min(r, 1.0)
+# ---------------------------------------------------------------------------
+# letterbox
+# ---------------------------------------------------------------------------
 
-    ratio = r, r
-    new_unpad = int(round(shape[1] * r)), int(round(shape[0] * r))
-    dw, dh = new_shape[1] - new_unpad[0], new_shape[0] - new_unpad[1]
-    if auto:
-        dw, dh = np.mod(dw, stride), np.mod(dh, stride)
-    elif scale_fill:
-        dw, dh = 0.0, 0.0
-        new_unpad = (new_shape[1], new_shape[0])
-        ratio = new_shape[1] / shape[1], new_shape[0] / shape[0]
 
-    dw /= 2
-    dh /= 2
-    if shape[::-1] != new_unpad:
-        im = cv2.resize(im, new_unpad, interpolation=cv2.INTER_LINEAR)
-    top, bottom = int(round(dh - 0.1)), int(round(dh + 0.1))
-    left, right = int(round(dw - 0.1)), int(round(dw + 0.1))
+@dataclass(frozen=True)
+class LetterboxGeom:
+    """Geometry of an aspect-preserving fit of ``shape`` into ``target``."""
+
+    ratio: tuple  # (rw, rh) applied to the source
+    unpad: tuple  # (w, h) of the resized-but-unpadded image
+    pad: tuple  # (dw, dh) — HALF padding per side, may be fractional
+
+    @classmethod
+    def fit(cls, shape, target, auto=True, scale_fill=False, scaleup=True, stride=32):
+        h, w = shape
+        th, tw = (target, target) if isinstance(target, int) else target
+        r = min(th / h, tw / w)
+        if not scaleup:  # eval: only shrink (keeps mAP, reference behavior)
+            r = min(r, 1.0)
+        unpad = int(round(w * r)), int(round(h * r))
+        dw, dh = tw - unpad[0], th - unpad[1]
+        ratio = (r, r)
+        if auto:  # minimal stride-aligned canvas instead of the full target
+            dw, dh = dw % stride, dh % stride
+        elif scale_fill:  # stretch, no padding at all
+            dw, dh, unpad, ratio = 0.0, 0.0, (tw, th), (tw / w, th / h)
+        return cls(ratio=ratio, unpad=unpad, pad=(dw / 2, dh / 2))
+
+    def borders(self):
+        """Integer per-side borders; the +-0.1 nudge splits odd padding the
+        same way the reference rounds it."""
+        dw, dh = self.pad
+        return (
+            int(round(dh - 0.1)),
+            int(round(dh + 0.1)),
+            int(round(dw - 0.1)),
+            int(round(dw + 0.1)),
+        )
+
+
+def letterbox(im, new_shape=(640, 640), color=GRAY, auto=True, scale_fill=False, scaleup=True, stride=32):
+    """Aspect-preserving resize + gray pad. Returns (im, ratio, (dw, dh))."""
+    g = LetterboxGeom.fit(im.shape[:2], new_shape, auto, scale_fill, scaleup, stride)
+    if im.shape[1::-1] != g.unpad:
+        im = cv2.resize(im, g.unpad, interpolation=cv2.INTER_LINEAR)
+    top, bottom, left, right = g.borders()
     im = cv2.copyMakeBorder(im, top, bottom, left, right, cv2.BORDER_CONSTANT, value=color)
-    return im, ratio, (dw, dh)
+    return im, g.ratio, g.pad
+
+
+# ---------------------------------------------------------------------------
+# color
+# ---------------------------------------------------------------------------
 
 
 def augment_hsv(im, hgain=0.5, sgain=0.5, vgain=0.5, rng: random.Random | None = None):
-    """In-place LUT-based HSV jitter on a BGR uint8 image."""
-    if hgain or sgain or vgain:
-        rng = rng or random
-        r = np.array([rng.uniform(-1, 1) for _ in range(3)]) * [hgain, sgain, vgain] + 1
-        hue, sat, val = cv2.split(cv2.cvtColor(im, cv2.COLOR_BGR2HSV))
-        x = np.arange(0, 256, dtype=r.dtype)
-        lut_hue = ((x * r[0]) % 180).astype(im.dtype)
-        lut_sat = np.clip(x * r[1], 0, 255).astype(im.dtype)
-        lut_val = np.clip(x * r[2], 0, 255).astype(im.dtype)
-        im_hsv = cv2.merge((cv2.LUT(hue, lut_hue), cv2.LUT(sat, lut_sat), cv2.LUT(val, lut_val)))
-        cv2.cvtColor(im_hsv, cv2.COLOR_HSV2BGR, dst=im)
+    """In-place LUT-based HSV jitter on a BGR uint8 image. Hue wraps mod 180
+    (cv2's H range); S/V saturate at 255."""
+    if not (hgain or sgain or vgain):
+        return im
+    rng = rng or random
+    gains = np.array([rng.uniform(-1, 1) for _ in range(3)]) * [hgain, sgain, vgain] + 1
+    ramp = np.arange(0, 256, dtype=gains.dtype)
+    tables = (
+        ((ramp * gains[0]) % 180).astype(im.dtype),
+        np.clip(ramp * gains[1], 0, 255).astype(im.dtype),
+        np.clip(ramp * gains[2], 0, 255).astype(im.dtype),
+    )
+    channels = cv2.split(cv2.cvtColor(im, cv2.COLOR_BGR2HSV))
+    jittered = cv2.merge(tuple(cv2.LUT(c, t) for c, t in zip(channels, tables)))
+    cv2.cvtColor(jittered, cv2.COLOR_HSV2BGR, dst=im)
     return im
 
 
+# ---------------------------------------------------------------------------
+# geometric warp
+# ---------------------------------------------------------------------------
+
+
+def _ioa(box, boxes, eps=1e-16):
+    """Intersection of ``box`` (4,) over the area of each of ``boxes`` (n,4)."""
+    iw = (np.minimum(box[2], boxes[:, 2]) - np.maximum(box[0], boxes[:, 0])).clip(0)
+    ih = (np.minimum(box[3], boxes[:, 3]) - np.maximum(box[1], boxes[:, 1])).clip(0)
+    area = (boxes[:, 2] - boxes[:, 0]) * (boxes[:, 3] - boxes[:, 1]) + eps
+    return iw * ih / area
+
+
 def box_candidates(box1, box2, wh_thr=2, ar_thr=100, area_thr=0.1, eps=1e-16):
-    """Filter warped boxes: min size, aspect, area retention
-    (reference utils/augmentations.py:226-237)."""
+    """Which warped boxes survive: min size, bounded aspect ratio, and enough
+    of the pre-warp area retained. Boxes are (4, n) xyxy."""
     w1, h1 = box1[2] - box1[0], box1[3] - box1[1]
     w2, h2 = box2[2] - box2[0], box2[3] - box2[1]
-    ar = np.maximum(w2 / (h2 + eps), h2 / (w2 + eps))
-    return (w2 > wh_thr) & (h2 > wh_thr) & (w2 * h2 / (w1 * h1 + eps) > area_thr) & (ar < ar_thr)
+    aspect = np.maximum(w2 / (h2 + eps), h2 / (w2 + eps))
+    kept_area = w2 * h2 / (w1 * h1 + eps)
+    return (w2 > wh_thr) & (h2 > wh_thr) & (kept_area > area_thr) & (aspect < ar_thr)
+
+
+def _sample_warp(rng, src_w, src_h, out_w, out_h, degrees, translate, scale, shear, perspective):
+    """Sample the combined warp matrix: translate @ shear @ rot-scale @
+    perspective @ recenter. The rng draw order (perspective xy, angle, scale,
+    shear xy, translate xy) is part of the seeded contract. Returns (M, s)."""
+    recenter = np.eye(3)
+    recenter[:2, 2] = (-src_w / 2, -src_h / 2)
+
+    proj = np.eye(3)
+    proj[2, 0] = rng.uniform(-perspective, perspective)
+    proj[2, 1] = rng.uniform(-perspective, perspective)
+
+    angle = rng.uniform(-degrees, degrees)
+    s = rng.uniform(1 - scale, 1 + scale)
+    rot = np.eye(3)
+    rot[:2] = cv2.getRotationMatrix2D(angle=angle, center=(0, 0), scale=s)
+
+    sh = np.eye(3)
+    sh[0, 1] = math.tan(rng.uniform(-shear, shear) * math.pi / 180)
+    sh[1, 0] = math.tan(rng.uniform(-shear, shear) * math.pi / 180)
+
+    trans = np.eye(3)
+    trans[0, 2] = rng.uniform(0.5 - translate, 0.5 + translate) * out_w
+    trans[1, 2] = rng.uniform(0.5 - translate, 0.5 + translate) * out_h
+
+    return functools.reduce(operator.matmul, (trans, sh, rot, proj, recenter)), s
+
+
+def _warp_box_envelopes(M, boxes, perspective, out_w, out_h):
+    """Warp xyxy boxes' 4 corners through M and take the axis-aligned
+    envelope, clipped to the output canvas. boxes (n,4) -> (n,4)."""
+    n = len(boxes)
+    corners = np.ones((n * 4, 3))
+    corners[:, :2] = boxes[:, [0, 1, 2, 3, 0, 3, 2, 1]].reshape(n * 4, 2)
+    pts = corners @ M.T
+    pts = (pts[:, :2] / pts[:, 2:3] if perspective else pts[:, :2]).reshape(n, 4, 2)
+    env = np.concatenate([pts.min(axis=1), pts.max(axis=1)], axis=1)
+    env[:, 0::2] = env[:, 0::2].clip(0, out_w)
+    env[:, 1::2] = env[:, 1::2].clip(0, out_h)
+    return env
 
 
 def random_perspective(
@@ -82,114 +175,85 @@ def random_perspective(
     border=(0, 0),
     rng: random.Random | None = None,
 ):
-    """Combined center/perspective/rotate-scale/shear/translate warp of image
-    + xyxy-pixel targets (cls, x1, y1, x2, y2)."""
+    """Combined recenter/perspective/rotate-scale/shear/translate warp of an
+    image and its (cls, x1, y1, x2, y2) pixel targets. ``border`` < 0 crops
+    (the mosaic case: canvas shrinks back to the train size)."""
     rng = rng or random
-    height = im.shape[0] + border[0] * 2
-    width = im.shape[1] + border[1] * 2
+    out_h = im.shape[0] + border[0] * 2
+    out_w = im.shape[1] + border[1] * 2
 
-    C = np.eye(3)
-    C[0, 2] = -im.shape[1] / 2
-    C[1, 2] = -im.shape[0] / 2
-
-    P = np.eye(3)
-    P[2, 0] = rng.uniform(-perspective, perspective)
-    P[2, 1] = rng.uniform(-perspective, perspective)
-
-    R = np.eye(3)
-    a = rng.uniform(-degrees, degrees)
-    s = rng.uniform(1 - scale, 1 + scale)
-    R[:2] = cv2.getRotationMatrix2D(angle=a, center=(0, 0), scale=s)
-
-    S = np.eye(3)
-    S[0, 1] = math.tan(rng.uniform(-shear, shear) * math.pi / 180)
-    S[1, 0] = math.tan(rng.uniform(-shear, shear) * math.pi / 180)
-
-    T = np.eye(3)
-    T[0, 2] = rng.uniform(0.5 - translate, 0.5 + translate) * width
-    T[1, 2] = rng.uniform(0.5 - translate, 0.5 + translate) * height
-
-    M = T @ S @ R @ P @ C
-    if (border[0] != 0) or (border[1] != 0) or (M != np.eye(3)).any():
+    M, s = _sample_warp(
+        rng, im.shape[1], im.shape[0], out_w, out_h, degrees, translate, scale, shear, perspective
+    )
+    if (border[0], border[1]) != (0, 0) or (M != np.eye(3)).any():
         if perspective:
-            im = cv2.warpPerspective(im, M, dsize=(width, height), borderValue=(114, 114, 114))
+            im = cv2.warpPerspective(im, M, dsize=(out_w, out_h), borderValue=GRAY)
         else:
-            im = cv2.warpAffine(im, M[:2], dsize=(width, height), borderValue=(114, 114, 114))
+            im = cv2.warpAffine(im, M[:2], dsize=(out_w, out_h), borderValue=GRAY)
 
-    n = len(targets)
-    if n:
-        xy = np.ones((n * 4, 3))
-        xy[:, :2] = targets[:, [1, 2, 3, 4, 1, 4, 3, 2]].reshape(n * 4, 2)  # corners
-        xy = xy @ M.T
-        xy = (xy[:, :2] / xy[:, 2:3] if perspective else xy[:, :2]).reshape(n, 8)
-        x = xy[:, [0, 2, 4, 6]]
-        y = xy[:, [1, 3, 5, 7]]
-        new = np.concatenate((x.min(1), y.min(1), x.max(1), y.max(1))).reshape(4, n).T
-        new[:, [0, 2]] = new[:, [0, 2]].clip(0, width)
-        new[:, [1, 3]] = new[:, [1, 3]].clip(0, height)
-        keep = box_candidates(box1=targets[:, 1:5].T * s, box2=new.T, area_thr=0.10)
+    if len(targets):
+        warped = _warp_box_envelopes(M, targets[:, 1:5], perspective, out_w, out_h)
+        keep = box_candidates(box1=targets[:, 1:5].T * s, box2=warped.T, area_thr=0.10)
         targets = targets[keep]
-        targets[:, 1:5] = new[keep]
+        targets[:, 1:5] = warped[keep]
     return im, targets
 
 
-def mixup(im, labels, im2, labels2, rng=None):
-    """Beta(32,32) image blend (reference utils/augmentations.py:289-294)."""
-    r = np.random.beta(32.0, 32.0)
+# ---------------------------------------------------------------------------
+# mixing / erasing
+# ---------------------------------------------------------------------------
+
+
+def mixup(im, labels, im2, labels2, rng: random.Random | None = None):
+    """Beta(32,32) image blend; labels concatenate."""
+    r = rng.betavariate(32.0, 32.0) if rng is not None else np.random.beta(32.0, 32.0)
     im = (im * r + im2 * (1 - r)).astype(np.uint8)
-    labels = np.concatenate((labels, labels2), 0)
-    return im, labels
+    return im, np.concatenate((labels, labels2), 0)
+
+
+# patch-size schedule: one half-size patch, two quarters, ... sixteen 1/32nds
+CUTOUT_SCALES = np.repeat([0.5, 0.25, 0.125, 0.0625, 0.03125], [1, 2, 4, 8, 16])
 
 
 def cutout(im, labels, p=0.5, rng: random.Random | None = None):
-    """Random erasing with label removal for heavily-obscured boxes
-    (reference utils/augmentations.py:262-286)."""
+    """Random erasing; labels whose box is >60%% obscured are dropped. The rng
+    draw order per patch (h, w, x, y, then 3 color channels) is part of the
+    seeded contract."""
     rng = rng or random
-    if rng.random() < p:
-        h, w = im.shape[:2]
-        scales = [0.5] * 1 + [0.25] * 2 + [0.125] * 4 + [0.0625] * 8 + [0.03125] * 16
-        for s in scales:
-            mask_h = rng.randint(1, int(h * s))
-            mask_w = rng.randint(1, int(w * s))
-            xmin = max(0, rng.randint(0, w) - mask_w // 2)
-            ymin = max(0, rng.randint(0, h) - mask_h // 2)
-            xmax = min(w, xmin + mask_w)
-            ymax = min(h, ymin + mask_h)
-            im[ymin:ymax, xmin:xmax] = [rng.randint(64, 191) for _ in range(3)]
-            if len(labels) and s > 0.03:
-                from ..ops.iou import bbox_ioa as _  # noqa: F401  (jax variant exists; numpy below)
-
-                box = np.array([xmin, ymin, xmax, ymax], dtype=np.float32)
-                b = labels[:, 1:5]
-                inter = (np.minimum(box[2], b[:, 2]) - np.maximum(box[0], b[:, 0])).clip(0) * (
-                    np.minimum(box[3], b[:, 3]) - np.maximum(box[1], b[:, 1])
-                ).clip(0)
-                area = (b[:, 2] - b[:, 0]) * (b[:, 3] - b[:, 1]) + 1e-16
-                labels = labels[inter / area < 0.60]
+    if rng.random() >= p:
+        return im, labels
+    h, w = im.shape[:2]
+    for frac in CUTOUT_SCALES:
+        ph = rng.randint(1, int(h * frac))
+        pw = rng.randint(1, int(w * frac))
+        x0 = max(0, rng.randint(0, w) - pw // 2)
+        y0 = max(0, rng.randint(0, h) - ph // 2)
+        x1, y1 = min(w, x0 + pw), min(h, y0 + ph)
+        im[y0:y1, x0:x1] = [rng.randint(64, 191) for _ in range(3)]
+        if len(labels) and frac > 0.03:
+            patch = np.array([x0, y0, x1, y1], np.float32)
+            labels = labels[_ioa(patch, labels[:, 1:5]) < 0.60]
     return im, labels
 
 
 def copy_paste(im, labels, segments, p=0.5, rng: random.Random | None = None):
-    """Segment copy-paste (reference utils/augmentations.py:240-259); no-op
-    without segments, like the reference on box-only datasets."""
+    """Paste horizontally-mirrored segment instances onto the image wherever
+    they overlap existing boxes by <30%% IoA. No-op without segments (box-only
+    datasets). Mutates ``segments`` by appending the mirrored polygons."""
     n = len(segments)
-    if p and n:
-        rng = rng or random
-        h, w, _ = im.shape
-        im_new = np.zeros(im.shape, np.uint8)
-        for j in rng.sample(range(n), k=round(p * n)):
-            l, seg = labels[j], segments[j]
-            box = w - l[3], l[2], w - l[1], l[4]
-            b = labels[:, 1:5]
-            inter = (np.minimum(box[2], b[:, 2]) - np.maximum(box[0], b[:, 0])).clip(0) * (
-                np.minimum(box[3], b[:, 3]) - np.maximum(box[1], b[:, 1])
-            ).clip(0)
-            ioa = inter / ((b[:, 2] - b[:, 0]) * (b[:, 3] - b[:, 1]) + 1e-16)
-            if (ioa < 0.30).all():
-                labels = np.concatenate((labels, [[l[0], *box]]), 0)
-                segments.append(np.concatenate((w - seg[:, 0:1], seg[:, 1:2]), 1))
-                cv2.drawContours(im_new, [segments[j].astype(np.int32)], -1, (1, 1, 1), cv2.FILLED)
-        result = cv2.flip(im, 1)
-        i = cv2.flip(im_new, 1).astype(bool)
-        im[i] = result[i]
+    if not (p and n):
+        return im, labels, segments
+    rng = rng or random
+    h, w = im.shape[:2]
+    paste_mask = np.zeros(im.shape, np.uint8)
+    for j in rng.sample(range(n), k=round(p * n)):
+        row, seg = labels[j], segments[j]
+        mirrored = (w - row[3], row[2], w - row[1], row[4])  # x-flipped box
+        if (_ioa(np.array(mirrored), labels[:, 1:5]) < 0.30).all():
+            labels = np.concatenate((labels, [[row[0], *mirrored]]), 0)
+            segments.append(np.concatenate((w - seg[:, 0:1], seg[:, 1:2]), 1))
+            cv2.drawContours(paste_mask, [seg.astype(np.int32)], -1, (1, 1, 1), cv2.FILLED)
+    flipped = cv2.flip(im, 1)
+    sel = cv2.flip(paste_mask, 1).astype(bool)
+    im[sel] = flipped[sel]
     return im, labels, segments

@@ -48,10 +48,8 @@ class SegmentDataset(YoloDataset):
         super().__init__(*args, **kwargs)
         self.mosaic = False  # segment mosaic lands with the full seg trainer
 
-    def _load_labels(self, cache_dir):
-        parsed = [load_seg_label_file(p) for p in self.label_files]
-        self.segments = [p[1] for p in parsed]
-        return [p[0] for p in parsed]
+    # label parsing: the base dataset now parses polygon rows natively and
+    # populates self.segments (aligned with labels; None for box rows)
 
     def __getitem__(self, index):
         img, (h0, w0), (h, w) = self.load_image(index)
