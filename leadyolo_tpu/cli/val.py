@@ -51,6 +51,8 @@ def run(
     workers=8,
     verbose=True,
     augment=False,
+    rect=True,
+    save_json=None,
 ):
     data_cfg = resolve_data(data)
     model, variables = load_weights(weights, cfg, nc=data_cfg["nc"])
@@ -79,6 +81,8 @@ def run(
         verbose=verbose,
         workers=workers,
         augment=augment,
+        rect=rect,
+        save_json=save_json,
     )
     print(
         f"P {res['mp']:.4f}  R {res['mr']:.4f}  mAP50 {res['map50']:.4f}  mAP50-95 {res['map']:.4f}  "
@@ -101,6 +105,8 @@ def parse_opt():
     p.add_argument("--no-half", dest="half", action="store_false")
     p.add_argument("--workers", type=int, default=8)
     p.add_argument("--augment", action="store_true", help="TTA scale+flip ensemble")
+    p.add_argument("--no-rect", dest="rect", action="store_false", help="square letterbox instead of rect buckets")
+    p.add_argument("--save-json", type=str, default=None, help="write native-space COCO records here")
     return p.parse_args()
 
 

@@ -1,11 +1,14 @@
 """Validation engine: device-side forward+decode+NMS, host-side AP bookkeeping.
 
-Capability parity with reference val.py:104-346: conf 0.001 / IoU 0.6
-multi-label NMS, greedy IoU matching at 10 thresholds, ap_per_class, per-class
-table, speed/FPS accounting. TPU-first: one jitted graph per (batch, size)
-runs forward+decode+NMS for the whole batch; matching happens in letterbox
-space (IoU is invariant under the per-image uniform scale+pad, so native-space
-matching like the reference's scale_boxes path gives identical TPs).
+Capability parity with reference val.py:104-346: rect aspect-ratio-bucketed
+dataloader (pad 0.5), conf 0.001 / IoU 0.6 multi-label NMS, greedy IoU
+matching at 10 thresholds, ap_per_class, per-class table, native-space COCO
+JSON records, speed/FPS accounting. TPU-first: one jitted graph per bucket
+shape (a small closed set — rect bucketing maps to static shapes instead of
+arbitrary per-batch sizes) runs forward+decode+NMS for the whole batch;
+matching happens in letterbox space (IoU is invariant under the per-image
+uniform scale+pad, so native-space matching like the reference's scale_boxes
+path gives identical TPs).
 """
 from __future__ import annotations
 
@@ -41,6 +44,7 @@ def validate(
     save_json: Optional[str] = None,
     plots_dir: Optional[str] = None,
     augment: bool = False,
+    rect: bool = True,
 ):
     """Evaluate mAP on a directory/txt of YOLO-format images.
 
@@ -49,7 +53,16 @@ def validate(
     nc = model.nc
     iouv = np.linspace(0.5, 0.95, 10)
 
-    ds = YoloDataset(data_path, img_size=img_size, augment=False, max_targets=max_targets)
+    ds = YoloDataset(
+        data_path,
+        img_size=img_size,
+        augment=False,
+        max_targets=max_targets,
+        rect=rect,
+        batch_size=batch_size,
+        pad=0.5 if rect else 0.0,  # reference val.py:182-190
+        return_shapes=True,
+    )
     dl = DataLoader(ds, batch_size=batch_size, shuffle=False, drop_last=False, workers=workers)
 
     @jax.jit
@@ -76,20 +89,32 @@ def validate(
     confusion = ConfusionMatrix(nc)
     seen = 0
     infer_time = 0.0
+    timed_images = 0
+    compiled_shapes = set()
     json_records = []
 
-    for imgs, targets, tmask in dl:
+    for imgs, targets, tmask, metas in dl:
         b = imgs.shape[0]
         if b < batch_size:  # pad the final batch to keep the jit shape static
-            pad = batch_size - b
-            imgs = np.concatenate([imgs, np.zeros((pad,) + imgs.shape[1:], imgs.dtype)])
-            targets = np.concatenate([targets, np.zeros((pad,) + targets.shape[1:], targets.dtype)])
-            tmask = np.concatenate([tmask, np.zeros((pad,) + tmask.shape[1:], bool)])
+            pad_n = batch_size - b
+            imgs = np.concatenate([imgs, np.zeros((pad_n,) + imgs.shape[1:], imgs.dtype)])
+        canvas_h, canvas_w = imgs.shape[1:3]
+
+        first_of_shape = imgs.shape[1:3] not in compiled_shapes
+        compiled_shapes.add(imgs.shape[1:3])
         t0 = time.perf_counter()
         det, valid = infer(variables, jnp.asarray(imgs))
-        det = np.asarray(det)
+        det = np.asarray(det)  # host fetch forces completion
         valid = np.asarray(valid)
-        infer_time += time.perf_counter() - t0
+        dt = time.perf_counter() - t0
+        if not first_of_shape:  # don't bill XLA compile time as inference
+            # scale batch time by its real-image fraction (final batch is padded)
+            infer_time += dt * (b / batch_size)
+            timed_images += b
+        elif timed_images == 0:
+            # no timed batch yet: keep a compile-tainted fallback so tiny
+            # datasets still report a (pessimistic) speed
+            fallback_time, fallback_images = dt * (b / batch_size), b
 
         for i in range(b):
             seen += 1
@@ -99,25 +124,28 @@ def validate(
             tbox = np.zeros((len(lb), 5), np.float32)
             if len(lb):
                 tbox[:, 0] = lb[:, 0]
-                cx, cy, w, h = (lb[:, 1] * img_size, lb[:, 2] * img_size, lb[:, 3] * img_size, lb[:, 4] * img_size)
+                cx, cy = lb[:, 1] * canvas_w, lb[:, 2] * canvas_h
+                w, h = lb[:, 3] * canvas_w, lb[:, 4] * canvas_h
                 tbox[:, 1], tbox[:, 2], tbox[:, 3], tbox[:, 4] = cx - w / 2, cy - h / 2, cx + w / 2, cy + h / 2
             correct = process_batch(d, tbox, iouv)
             stats.append((correct, d[:, 4], d[:, 5], tbox[:, 0]))
             confusion.process_batch(d, tbox)
-            if save_json is not None:
-                # COCO-style records (reference val.py:313-336 save_one_json);
-                # boxes stay in letterbox space here — image_id keyed by index
-                from pathlib import Path as _P
-
-                img_file = ds.im_files[seen - 1]
-                stem = _P(img_file).stem
+            if save_json is not None and len(d):
+                # COCO records in NATIVE image space (reference val.py:313-336
+                # save_one_json): undo the letterbox, then corner-xywh format
+                h0, w0, rh, rw, padw, padh = metas[i]
+                nat = d.copy()
+                nat[:, [0, 2]] = ((nat[:, [0, 2]] - padw) / rw).clip(0, w0)
+                nat[:, [1, 3]] = ((nat[:, [1, 3]] - padh) / rh).clip(0, h0)
+                stem = Path(ds.im_files[seen - 1]).stem
                 image_id = int(stem) if stem.isnumeric() else stem
-                for x1, y1, x2, y2, conf, cls in d:
+                for x1, y1, x2, y2, conf, cls in nat:
                     json_records.append(
                         {
                             "image_id": image_id,
                             "category_id": int(cls),
-                            "bbox": [round(float(x1), 3), round(float(y1), 3), round(float(x2 - x1), 3), round(float(y2 - y1), 3)],
+                            "bbox": [round(float(x1), 3), round(float(y1), 3),
+                                     round(float(x2 - x1), 3), round(float(y2 - y1), 3)],
                             "score": round(float(conf), 5),
                         }
                     )
@@ -135,7 +163,9 @@ def validate(
         r = None
         mp = mr = map50 = mapm = 0.0
 
-    speed_ms = infer_time / max(seen, 1) * 1000.0
+    if timed_images == 0 and seen:
+        infer_time, timed_images = fallback_time, fallback_images
+    speed_ms = infer_time / max(timed_images, 1) * 1000.0
     out = {
         "mp": mp,
         "mr": mr,

@@ -16,6 +16,15 @@ def fitness(results: np.ndarray) -> float:
     return float((np.asarray(results)[:4] * w).sum())
 
 
+def smooth(y: np.ndarray, f: float = 0.05) -> np.ndarray:
+    """Box-filter smoothing with edge replication over a fraction ``f`` of the
+    curve (reference utils/general.py smooth)."""
+    nf = round(len(y) * f * 2) // 2 + 1  # odd kernel size
+    p = np.ones(nf // 2)
+    yp = np.concatenate((p * y[0], y, p * y[-1]))
+    return np.convolve(yp, np.ones(nf) / nf, mode="valid")
+
+
 def box_iou_np(box1: np.ndarray, box2: np.ndarray, eps: float = 1e-7) -> np.ndarray:
     """(N,4),(M,4) xyxy -> (N,M) IoU, numpy."""
     a1, a2 = np.split(box1[:, None, :], 2, axis=2)
@@ -99,7 +108,9 @@ def ap_per_class(tp, conf, pred_cls, target_cls, eps: float = 1e-16):
                 pr_curve[ci] = np.interp(px, mrec, mpre)
 
     f1_curve = 2 * p_curve * r_curve / (p_curve + r_curve + eps)
-    i_best = int(f1_curve.mean(0).argmax())
+    # pick the working point on a box-smoothed mean-F1 curve (reference
+    # utils/metrics.py:92 smooth(f1.mean(0), 0.1)) — raw argmax is noisy
+    i_best = int(smooth(f1_curve.mean(0), 0.1).argmax())
     p, r, f1 = p_curve[:, i_best], r_curve[:, i_best], f1_curve[:, i_best]
     return {
         "p": p,
