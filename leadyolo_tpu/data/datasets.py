@@ -543,6 +543,52 @@ class YoloDataset:
         all_segs = [seg - shift for seg in all_segs]
         return self._finish_mosaic(np.ascontiguousarray(canvas), labels9, all_segs)
 
+    # ---- batch fast path (native preproc engine, SURVEY.md §2.9 item 4) ----
+
+    @property
+    def batch_fastpath(self) -> bool:
+        """Eval batches can be assembled by the native engine in one GIL-free
+        pass (augment path and subclasses with extra outputs cannot)."""
+        return not self.augment and type(self) is YoloDataset
+
+    def get_eval_batch(self, indices, pool=None):
+        """Produce exactly what ``collate([self[i] for i in indices])`` would,
+        but via threaded decode + ONE native letterbox pass writing straight
+        into the NHWC batch slab (pad + BGR->RGB fused, no GIL). Pre-resized
+        sources make the native pass a bit-exact copy (gain == 1). Falls back
+        to the per-sample path when the native library is unavailable."""
+        from ..native import letterbox_batch_native
+
+        mapper = pool.map if pool is not None else map
+        loaded = list(mapper(self.load_image, indices))
+        if self.rect:
+            shape = tuple(self.batch_shapes[self.batch_index[indices[0]]])
+        else:
+            shape = (self.img_size, self.img_size)
+        out = letterbox_batch_native([im for im, _, _ in loaded], shape, swap_rb=True, scaleup=False)
+        if out is None:  # no native library
+            return self.collate([self[i] for i in indices])
+        batch, geom = out
+
+        b, t = len(indices), self.max_targets
+        targets = np.zeros((b, t, 5), np.float32)
+        tmask = np.zeros((b, t), bool)
+        metas = np.zeros((b, 6), np.float32)
+        for k, (idx, (_, (h0, w0), (h, w))) in enumerate(zip(indices, loaded)):
+            r, dw, dh = geom[k]
+            lb = self.labels[idx].copy()
+            if lb.size:
+                xy = self._xywhn2xyxy(lb[:, 1:], r * w, r * h, dw, dh)
+                lb[:, 1:] = self._xyxy2xywhn(xy, shape[1], shape[0])
+            n = min(len(lb), t)
+            if n:
+                targets[k, :n] = lb[:n]
+                tmask[k, :n] = True
+            metas[k] = (h0, w0, r * h / h0, r * w / w0, dw, dh)
+        if self.return_shapes:
+            return batch, targets, tmask, metas
+        return batch, targets, tmask
+
     # ---- fixed-shape collate ----
 
     def collate(self, samples):

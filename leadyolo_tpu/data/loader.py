@@ -77,13 +77,20 @@ class DataLoader:
         out_q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
         stop = threading.Event()
 
+        use_fast = getattr(self.ds, "batch_fastpath", False)
+
         def produce():
             with ThreadPoolExecutor(max_workers=self.workers) as pool:
                 for b in batches:
                     if stop.is_set():
                         return
-                    samples = list(pool.map(self.ds.__getitem__, b))
-                    out_q.put(self.ds.collate(samples))
+                    if use_fast:
+                        # eval: threaded decode + one GIL-free native
+                        # letterbox pass into the batch slab
+                        out_q.put(self.ds.get_eval_batch(b, pool))
+                    else:
+                        samples = list(pool.map(self.ds.__getitem__, b))
+                        out_q.put(self.ds.collate(samples))
             out_q.put(None)
 
         t = threading.Thread(target=produce, daemon=True)

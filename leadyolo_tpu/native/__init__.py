@@ -22,7 +22,7 @@ _lib = None
 def _build() -> bool:
     try:
         subprocess.run(
-            ["g++", "-O3", "-shared", "-fPIC", "-std=c++17", "-pthread", str(_SRC), "-o", str(_SO)],
+            ["g++", "-O3", "-march=native", "-shared", "-fPIC", "-std=c++17", "-pthread", str(_SRC), "-o", str(_SO)],
             check=True,
             capture_output=True,
             timeout=120,
@@ -67,18 +67,21 @@ def get_lib():
 
 
 def letterbox_batch_native(images, out_size, swap_rb=True, scaleup=False, num_threads=None):
-    """Letterbox a list of HWC uint8 BGR images into one (n, s, s, 3) uint8
-    batch (RGB when swap_rb). Returns (batch, geom (n,3) [gain, dw, dh]) or
-    None if the native library is unavailable."""
+    """Letterbox a list of HWC uint8 BGR images into one (n, oh, ow, 3) uint8
+    batch (RGB when swap_rb). ``out_size`` is an int (square) or (h, w).
+    Returns (batch, geom (n,3) [gain, dw, dh]) or None if the native library
+    is unavailable. When every source already fits the canvas (gain == 1, the
+    eval pipeline after load_image pre-resize), the output is a bit-exact
+    pad+swap copy of the cv2 path."""
     lib = get_lib()
     if lib is None:
         return None
     n = len(images)
-    s = int(out_size)
+    oh, ow = (int(out_size), int(out_size)) if np.isscalar(out_size) else (int(out_size[0]), int(out_size[1]))
     images = [np.ascontiguousarray(im, dtype=np.uint8) for im in images]
     ptrs = (ctypes.c_void_p * n)(*[im.ctypes.data_as(ctypes.c_void_p).value for im in images])
     shapes = np.array([im.shape[:2] for im in images], np.int32).ravel()
-    batch = np.empty((n, s, s, 3), np.uint8)
+    batch = np.empty((n, oh, ow, 3), np.uint8)
     geom = np.empty((n, 3), np.float32)
     nt = num_threads or min(os.cpu_count() or 8, n)
     lib.letterbox_batch(
@@ -86,8 +89,8 @@ def letterbox_batch_native(images, out_size, swap_rb=True, scaleup=False, num_th
         shapes.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
         n,
         batch.ctypes.data_as(ctypes.c_void_p),
-        s,
-        s,
+        oh,
+        ow,
         int(swap_rb),
         int(scaleup),
         geom.ctypes.data_as(ctypes.c_void_p),

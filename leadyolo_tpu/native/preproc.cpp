@@ -21,13 +21,44 @@
 
 namespace {
 
+// Straight row copy with optional R/B channel swap (vectorizes under -O3).
+inline void copy_swap_row(const uint8_t* src, uint8_t* dst, int w, bool swap_rb) {
+  if (!swap_rb) {
+    std::memcpy(dst, src, static_cast<size_t>(w) * 3);
+    return;
+  }
+  for (int x = 0; x < w; ++x) {
+    dst[x * 3 + 0] = src[x * 3 + 2];
+    dst[x * 3 + 1] = src[x * 3 + 1];
+    dst[x * 3 + 2] = src[x * 3 + 0];
+  }
+}
+
 // Bilinear sample matching cv2.INTER_LINEAR geometry (half-pixel centers).
+// Identity scale degenerates to a row copy — the hot case in the eval
+// pipeline, where sources are pre-resized and this pass only pads+swaps.
 inline void resize_bilinear_into(
     const uint8_t* src, int sh, int sw,            // src HWC (3ch)
     uint8_t* dst, int dh, int dw, int dst_stride,  // dst row stride in px*3
     int off_y, int off_x, bool swap_rb) {
+  if (dh == sh && dw == sw) {
+    for (int dy = 0; dy < dh; ++dy)
+      copy_swap_row(src + static_cast<size_t>(dy) * sw * 3,
+                    dst + (static_cast<size_t>(dy + off_y) * dst_stride + off_x) * 3, dw, swap_rb);
+    return;
+  }
   const float scale_y = static_cast<float>(sh) / dh;
   const float scale_x = static_cast<float>(sw) / dw;
+  // horizontal taps are identical for every row: compute once
+  std::vector<int> xt0(dw), xt1(dw);
+  std::vector<float> xw(dw);
+  for (int dx = 0; dx < dw; ++dx) {
+    float fx = (dx + 0.5f) * scale_x - 0.5f;
+    int x0 = static_cast<int>(std::floor(fx));
+    xw[dx] = fx - x0;
+    xt1[dx] = std::min(x0 + 1, sw - 1) * 3;
+    xt0[dx] = std::max(x0, 0) * 3;
+  }
   for (int dy = 0; dy < dh; ++dy) {
     float fy = (dy + 0.5f) * scale_y - 0.5f;
     int y0 = static_cast<int>(std::floor(fy));
@@ -38,17 +69,14 @@ inline void resize_bilinear_into(
     const uint8_t* row0 = src + static_cast<size_t>(y0) * sw * 3;
     const uint8_t* row1 = src + static_cast<size_t>(y1) * sw * 3;
     for (int dx = 0; dx < dw; ++dx) {
-      float fx = (dx + 0.5f) * scale_x - 0.5f;
-      int x0 = static_cast<int>(std::floor(fx));
-      float wx = fx - x0;
-      int x1 = std::min(x0 + 1, sw - 1);
-      x0 = std::max(x0, 0);
+      const float wx = xw[dx];
+      const int x0 = xt0[dx], x1 = xt1[dx];
       const float w00 = (1 - wy) * (1 - wx), w01 = (1 - wy) * wx;
       const float w10 = wy * (1 - wx), w11 = wy * wx;
       for (int c = 0; c < 3; ++c) {
         int cc = swap_rb ? 2 - c : c;
-        float v = w00 * row0[x0 * 3 + cc] + w01 * row0[x1 * 3 + cc] +
-                  w10 * row1[x0 * 3 + cc] + w11 * row1[x1 * 3 + cc];
+        float v = w00 * row0[x0 + cc] + w01 * row0[x1 + cc] +
+                  w10 * row1[x0 + cc] + w11 * row1[x1 + cc];
         out_row[dx * 3 + c] = static_cast<uint8_t>(v + 0.5f);
       }
     }

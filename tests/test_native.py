@@ -70,3 +70,70 @@ def test_resize_batch(native_lib, rng):
     for i in range(4):
         ref = cv2.resize(src[i], (48, 32), interpolation=cv2.INTER_LINEAR)
         assert np.abs(dst[i].astype(int) - ref.astype(int)).max() <= 3
+
+
+def _png_dataset(root, n=8, sizes=((480, 640), (300, 500), (123, 321), (640, 640))):
+    import cv2 as _cv2
+    from pathlib import Path
+
+    (root / "images" / "val").mkdir(parents=True)
+    (root / "labels" / "val").mkdir(parents=True)
+    g = np.random.default_rng(7)
+    for i in range(n):
+        h, w = sizes[i % len(sizes)]
+        _cv2.imwrite(str(root / "images" / "val" / f"{i}.png"), g.integers(0, 256, (h, w, 3), dtype=np.uint8))
+        (root / "labels" / "val" / f"{i}.txt").write_text("0 0.5 0.5 0.4 0.3\n0 0.25 0.3 0.1 0.2\n")
+    from leadyolo_tpu.data.datasets import YoloDataset
+
+    return root / "images" / "val", YoloDataset
+
+
+@pytest.mark.parametrize("rect", [False, True])
+def test_eval_batch_fastpath_bit_identical(native_lib, tmp_path, rect):
+    """The wired native batch path must reproduce the per-sample cv2 path
+    exactly: pre-resized eval sources make the native pass a pure
+    pad+swap copy (gain == 1)."""
+    path, YoloDataset = _png_dataset(tmp_path)
+    ds = YoloDataset(path, img_size=160, augment=False, return_shapes=True,
+                     rect=rect, batch_size=4)
+    assert ds.batch_fastpath
+    for start in (0, 4):
+        idx = list(range(start, start + 4))
+        fast = ds.get_eval_batch(idx)
+        ref = ds.collate([ds[i] for i in idx])
+        np.testing.assert_array_equal(fast[0], ref[0])  # pixels: bit-exact
+        np.testing.assert_allclose(fast[1], ref[1], atol=1e-5)  # targets
+        np.testing.assert_array_equal(fast[2], ref[2])
+        np.testing.assert_allclose(fast[3], ref[3], rtol=1e-5)  # shape meta
+
+
+def test_loader_uses_fastpath(native_lib, tmp_path):
+    from leadyolo_tpu.data.loader import DataLoader
+
+    path, YoloDataset = _png_dataset(tmp_path)
+    ds = YoloDataset(path, img_size=160, augment=False, return_shapes=True)
+    dl = DataLoader(ds, batch_size=4, shuffle=False, drop_last=False, workers=2)
+    batches = list(dl)
+    assert len(batches) == 2
+    ref = ds.collate([ds[i] for i in range(4)])
+    np.testing.assert_array_equal(batches[0][0], ref[0])
+
+
+def test_eval_batch_fastpath_throughput(native_lib, tmp_path):
+    """A/B with decode factored out (RAM cache): the native single-pass batch
+    assembly should clearly beat per-sample letterbox+flip+stack."""
+    path, YoloDataset = _png_dataset(tmp_path, n=32, sizes=((480, 640),))
+    ds = YoloDataset(path, img_size=640, augment=False, cache_images="ram")
+    idx = list(range(32))
+    ds.get_eval_batch(idx)  # warm
+    t0 = time.perf_counter()
+    for _ in range(3):
+        ds.get_eval_batch(idx)
+    t_native = (time.perf_counter() - t0) / 3
+    t0 = time.perf_counter()
+    for _ in range(3):
+        ds.collate([ds[i] for i in idx])
+    t_cv2 = (time.perf_counter() - t0) / 3
+    print(f"batch assembly: native {t_native*1e3:.1f} ms vs per-sample {t_cv2*1e3:.1f} ms")
+    # loose bound for contended CI machines; typical is >2x
+    assert t_native < t_cv2, (t_native, t_cv2)
