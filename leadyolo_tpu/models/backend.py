@@ -43,11 +43,6 @@ class MultiBackend:
             self.model, self.variables = load_weights(w, cfg, nc=nc)
             self.nc = self.model.nc
 
-            def fwd(x):
-                preds = self.model.apply(self.variables, jnp.asarray(x).astype(jnp.float32) / 255.0, train=False)
-                return np.asarray(preds[0] if isinstance(preds, tuple) else preds)
-
-            self._fwd = lambda x: fwd(x)
             self._jit = jax.jit(
                 lambda v, x: self.model.apply(v, x.astype(jnp.float32) / 255.0, train=False, decode=True)
             )

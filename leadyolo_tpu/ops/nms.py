@@ -9,8 +9,17 @@ static-shape formulation that jits and vmaps:
   (reference: utils/general.py:975, offset = class_id * max_wh);
 - greedy suppression computed exactly by a *tiled* algorithm: earlier tiles'
   kept boxes suppress later tiles with one (K, T) IoU matrix op per tile, and
-  within a tile a bounded fixpoint iteration reproduces the sequential greedy
-  order. This keeps the sequential depth at O(K/T * iters) instead of O(K).
+  within a tile a convergence-tested fixpoint iteration reproduces the
+  sequential greedy order exactly.
+
+The batch-level entry point is *adaptive*: suppression cost is quadratic in
+the candidate count K, but at detect-time confidence thresholds (0.25) real
+images rarely have more than a few dozen candidates. A cheap on-device count
+picks between two statically-shaped paths with ``lax.cond`` — a K=256 path
+(suppression ~0.1 ms/batch-128 on v5e) and the full ``max_nms`` path
+(~5 ms) — at runtime. Both paths are exact: when every image has <= 256
+above-threshold candidates, the top-256 set contains *all* of them, so greedy
+over it equals greedy over the full candidate list.
 
 Outputs are padded to ``max_det`` with a validity mask — the TPU-native
 replacement for the reference's ragged per-image lists.
@@ -23,6 +32,11 @@ import jax
 import jax.numpy as jnp
 
 from .boxes import xywh2xyxy
+
+# adaptive fast-path candidate budget: chosen so the (SMALL_K, SMALL_K)
+# suppression problem fits one tile (no cross-tile pass) and stays ~50x
+# cheaper than the 1024-candidate path on v5e.
+_SMALL_K = 256
 
 
 def _pairwise_iou(b1, b2, eps=1e-7):
@@ -82,6 +96,16 @@ def greedy_suppress(boxes, active, iou_thres, tile: int = 256):
     return jax.lax.fori_loop(0, nb, tile_body, keep)
 
 
+def _suppress_batch(boxes, active, iou_thres, backend):
+    """vmapped suppression dispatch: (B,K,4),(B,K) -> (B,K) keep."""
+    if backend == "pallas":
+        from .pallas_nms import greedy_suppress_pallas
+
+        return jax.vmap(lambda b, a: greedy_suppress_pallas(b, a, iou_thres))(boxes, active)
+    k = boxes.shape[1]
+    return jax.vmap(lambda b, a: greedy_suppress(b, a, iou_thres, tile=min(256, k)))(boxes, active)
+
+
 @partial(
     jax.jit,
     static_argnames=(
@@ -94,6 +118,7 @@ def greedy_suppress(boxes, active, iou_thres, tile: int = 256):
         "max_wh",
         "nc",
         "backend",
+        "adaptive",
     ),
 )
 def non_max_suppression(
@@ -108,8 +133,10 @@ def non_max_suppression(
     max_wh: float = 7680.0,
     nc: int | None = None,
     backend: str = "xla",  # 'xla' (vmapped, batch-friendly) | 'pallas'
-    # (single-kernel VMEM-resident suppression — fastest for standalone
+    # (single-kernel VMEM-resident suppression — faster for standalone
     # large-K calls; see ops/pallas_nms.py)
+    adaptive: bool = True,  # runtime lax.cond onto a K=256 fast path when no
+    # image has more than 256 above-threshold candidates (exact either way)
 ):
     """Batched NMS over raw detector output ``prediction`` (B, N, 5+nc).
 
@@ -126,63 +153,103 @@ def non_max_suppression(
     greedy IoU suppression, max_det cap.
     """
     nc = nc if nc is not None else prediction.shape[2] - 5
+    b, n = prediction.shape[0], prediction.shape[1]
+    obj = prediction[..., 4]  # (B, N)
+    cls_conf = prediction[..., 5 : 5 + nc] * obj[..., None]  # (B, N, nc)
+    boxes_xywh = prediction[..., :4]
+    cand_gate = obj > conf_thres
 
-    def one_image(x):  # (N, 5+nc)
-        n = x.shape[0]
-        obj = x[:, 4]
-        cls_conf = x[:, 5 : 5 + nc] * obj[:, None]  # (N, nc)
-        boxes = xywh2xyxy(x[:, :4])  # (N, 4)
-        cand_gate = obj > conf_thres
+    # ---- batched candidate scoring (shared by both cond branches) ----
+    if multi_label and nc > 1:
+        score = jnp.where(cand_gate[..., None], cls_conf, 0.0).reshape(b, n * nc)
+        score = jnp.where(score > conf_thres, score, 0.0)
+        if classes is not None:
+            cls_ok = jnp.zeros((nc,), bool).at[jnp.asarray(classes)].set(True)
+            score = jnp.where(jnp.tile(cls_ok, n)[None, :], score, 0.0)
+        n_flat = n * nc
+    else:
+        conf = jnp.max(cls_conf, axis=-1)  # (B, N)
+        cls_idx_all = jnp.argmax(cls_conf, axis=-1)
+        score = jnp.where(cand_gate & (conf > conf_thres), conf, 0.0)
+        if classes is not None:
+            cls_ok = jnp.zeros((nc,), bool).at[jnp.asarray(classes)].set(True)
+            score = jnp.where(cls_ok[cls_idx_all], score, 0.0)
+        n_flat = n
 
+    def select_topk(kk: int):
+        """Sorted top-kk of ``score``, exact, via a checked approximate path.
+
+        ``lax.approx_max_k`` (TPU PartialReduce, ~13x cheaper than ``top_k``
+        at B=128, N=25k on v5e) retrieves kk candidates with >=95% recall.
+        We then verify *exactness* on device: if every image's count of
+        above-threshold scores equals the count retrieved, the approx set
+        contains every real candidate and (sorted) equals exact top-k on all
+        rows that matter; otherwise a ``lax.cond`` falls back to exact
+        ``top_k``. Validation at conf 0.001 (more actives than kk) always
+        takes the exact branch.
+        """
+        if kk >= n_flat or kk > 512:
+            # approx_max_k's PartialReduce shortlist degenerates toward the
+            # full array as kk grows (kk=1024 over 25k -> no reduction at
+            # all), so the approx path only wins for small kk
+            return jax.lax.top_k(score, kk)
+        av, ai = jax.lax.approx_max_k(score, kk, recall_target=0.95, aggregate_to_topk=True)
+        n_full = (score > conf_thres).sum(axis=-1)
+        n_got = (av > conf_thres).sum(axis=-1)
+        got_all = jnp.all((n_full == n_got) & (n_full <= kk))
+        return jax.lax.cond(
+            got_all, lambda: (av, ai), lambda: tuple(jax.lax.top_k(score, kk))
+        )
+
+    def run_path(k: int):
+        """Full NMS with a static candidate budget of k (sorted top-k)."""
+        kk = min(k, n_flat)
+        top_scores, top_idx = select_topk(kk)  # (B, kk)
         if multi_label and nc > 1:
-            scores_flat = jnp.where(cand_gate[:, None], cls_conf, 0.0).reshape(-1)  # (N*nc,)
-            scores_flat = jnp.where(scores_flat > conf_thres, scores_flat, 0.0)
-            if classes is not None:
-                cls_ok = jnp.zeros((nc,), bool).at[jnp.asarray(classes)].set(True)
-                scores_flat = jnp.where(jnp.tile(cls_ok, n), scores_flat, 0.0)
-            kk = min(max_nms, scores_flat.shape[0])
-            top_scores, top_idx = jax.lax.top_k(scores_flat, kk)
             src_idx = top_idx // nc
             cls_idx = (top_idx % nc).astype(jnp.float32)
-            top_boxes = boxes[src_idx]
         else:
-            conf = jnp.max(cls_conf, axis=1)
-            cls_idx_all = jnp.argmax(cls_conf, axis=1)
-            score = jnp.where(cand_gate & (conf > conf_thres), conf, 0.0)
-            if classes is not None:
-                cls_ok = jnp.zeros((nc,), bool).at[jnp.asarray(classes)].set(True)
-                score = jnp.where(cls_ok[cls_idx_all], score, 0.0)
-            kk = min(max_nms, n)
-            top_scores, top_idx = jax.lax.top_k(score, kk)
             src_idx = top_idx
-            top_boxes = boxes[top_idx]
-            cls_idx = cls_idx_all[top_idx].astype(jnp.float32)
-
-        if kk < max_nms:  # pad to static max_nms
-            pad = max_nms - kk
-            top_scores = jnp.pad(top_scores, (0, pad))
-            top_boxes = jnp.pad(top_boxes, ((0, pad), (0, 0)))
-            cls_idx = jnp.pad(cls_idx, (0, pad))
-            src_idx = jnp.pad(src_idx, (0, pad))
+            cls_idx = jnp.take_along_axis(cls_idx_all, top_idx, axis=1).astype(jnp.float32)
+        # gather the 4 raw box columns for kk rows, then convert — cheaper
+        # than converting all N boxes and gathering after
+        top_boxes = xywh2xyxy(jnp.take_along_axis(boxes_xywh, src_idx[..., None], axis=1))
 
         active = top_scores > conf_thres
-        offset = 0.0 if agnostic else cls_idx[:, None] * max_wh
-        if backend == "pallas":
-            from .pallas_nms import greedy_suppress_pallas
-
-            keep = greedy_suppress_pallas(top_boxes + offset, active, iou_thres)
-        else:
-            keep = greedy_suppress(top_boxes + offset, active, iou_thres)
+        offset = 0.0 if agnostic else cls_idx[..., None] * max_wh
+        keep = _suppress_batch(top_boxes + offset, active, iou_thres, backend)
 
         # Select top max_det kept, preserving score order (already sorted).
         kept_scores = jnp.where(keep, top_scores, -1.0)
-        out_scores, out_idx = jax.lax.top_k(kept_scores, max_det)
+        md = min(max_det, kk)
+        out_scores, out_idx = jax.lax.top_k(kept_scores, md)
         out_valid = out_scores > conf_thres
         det = jnp.concatenate(
-            [top_boxes[out_idx], out_scores[:, None], cls_idx[out_idx, None]], axis=1
+            [
+                jnp.take_along_axis(top_boxes, out_idx[..., None], axis=1),
+                out_scores[..., None],
+                jnp.take_along_axis(cls_idx, out_idx, axis=1)[..., None],
+            ],
+            axis=-1,
         )
-        det = jnp.where(out_valid[:, None], det, 0.0)
-        out_src = jnp.where(out_valid, src_idx[out_idx], 0).astype(jnp.int32)
+        det = jnp.where(out_valid[..., None], det, 0.0)
+        out_src = jnp.where(out_valid, jnp.take_along_axis(src_idx, out_idx, axis=1), 0).astype(jnp.int32)
+        if md < max_det:  # pad to the static output contract
+            pad = max_det - md
+            det = jnp.pad(det, ((0, 0), (0, pad), (0, 0)))
+            out_valid = jnp.pad(out_valid, ((0, 0), (0, pad)))
+            out_src = jnp.pad(out_src, ((0, 0), (0, pad)))
         return det, out_valid, out_src
 
-    return jax.vmap(one_image)(prediction)
+    if adaptive and min(max_nms, n_flat) > _SMALL_K:
+        # one cheap reduction decides the path; both branches are compiled
+        # once, only the taken one executes. Exactness: if every image has
+        # <= _SMALL_K candidates above threshold, top-_SMALL_K contains all
+        # of them and greedy over that set is greedy over everything.
+        n_active_max = (score > conf_thres).sum(axis=-1).max()
+        return jax.lax.cond(
+            n_active_max <= _SMALL_K,
+            lambda: run_path(_SMALL_K),
+            lambda: run_path(max_nms),
+        )
+    return run_path(max_nms)

@@ -34,7 +34,7 @@ def _iou_rows_cols(rows, colsT, eps=1e-7):
     return inter / (area_r + area_c - inter + eps)
 
 
-def _nms_kernel(boxes_ref, boxesT_ref, active_ref, keep_ref, *, iou_thres: float, tile: int, fix_iters: int):
+def _nms_kernel(boxes_ref, boxesT_ref, active_ref, keep_ref, *, iou_thres: float, tile: int):
     k = boxes_ref.shape[0]
     nb = k // tile
     boxesT = boxesT_ref[:]  # (4, K)
@@ -67,33 +67,44 @@ def _nms_kernel(boxes_ref, boxesT_ref, active_ref, keep_ref, *, iou_thres: float
         act_t = active_ref[pl.ds(s, tile), :] != 0  # (T, 1)
         base = act_t & ~sup_cross  # (T, 1)
 
-        # bounded fixpoint with a fixed trip count (Mosaic cannot lower a
-        # data-dependent while with vector carries). Each iteration finalizes
-        # at least one more link of any suppression chain and the converged
-        # state is idempotent; fix_iters=tile is provably exact, the default
-        # 16 covers suppression chains up to ~16 deep (far beyond anything a
-        # conf-filtered detector produces).
-        def fix_body(_, cur):  # cur (T,1) float32 in {0,1}
-            hit = jnp.dot(sup_mat, cur, preferred_element_type=jnp.float32) > 0.5
-            return (base & ~hit).astype(jnp.float32)
+        # Convergence-tested fixpoint — EXACT for arbitrary suppression-chain
+        # depth. The map f(keep) = base & ~(sup_mat @ keep) has a strictly
+        # lower-triangular dependency, so any fixpoint equals the sequential
+        # greedy solution (unique by induction over score order); we iterate
+        # until nothing changes (<= chain depth + 1 steps, typically 2-4).
+        # Mosaic cannot carry vectors through a data-dependent while, so the
+        # vector state lives in the keep_ref tile slice and the carry is a
+        # scalar (iteration count, changed flag).
+        keep_ref[pl.ds(s, tile), :] = base.astype(jnp.int32)
 
-        keep_t = jax.lax.fori_loop(0, fix_iters, fix_body, base.astype(jnp.float32)) > 0.5
-        keep_ref[pl.ds(s, tile), :] = keep_t.astype(jnp.int32)
+        def fix_cond(c):
+            it, changed = c
+            return changed & (it < tile)
+
+        def fix_body(c):
+            it, _ = c
+            cur = keep_ref[pl.ds(s, tile), :].astype(jnp.float32)  # (T,1)
+            hit = jnp.dot(sup_mat, cur, preferred_element_type=jnp.float32) > 0.5
+            new = base & ~hit
+            keep_ref[pl.ds(s, tile), :] = new.astype(jnp.int32)
+            return it + 1, jnp.any(new != (cur > 0.5))
+
+        jax.lax.while_loop(fix_cond, fix_body, (0, jnp.bool_(True)))
         return 0
 
     jax.lax.fori_loop(0, nb, tile_body, 0)
 
 
-@functools.partial(jax.jit, static_argnames=("iou_thres", "tile", "interpret", "fix_iters"))
-def greedy_suppress_pallas(boxes, active, iou_thres: float = 0.45, tile: int = 256, interpret: bool = False, fix_iters: int = 16):
+@functools.partial(jax.jit, static_argnames=("iou_thres", "tile", "interpret"))
+def greedy_suppress_pallas(boxes, active, iou_thres: float = 0.45, tile: int = 256, interpret: bool = False):
     """Drop-in for ops.nms.greedy_suppress: (K,4) xyxy score-sorted boxes +
-    (K,) active mask -> (K,) keep mask."""
+    (K,) active mask -> (K,) keep mask. Exact (convergence-tested fixpoint)."""
     k = boxes.shape[0]
     if k % tile:
         tile = k
     boxes = boxes.astype(jnp.float32)
     out = pl.pallas_call(
-        functools.partial(_nms_kernel, iou_thres=iou_thres, tile=tile, fix_iters=min(fix_iters, tile)),
+        functools.partial(_nms_kernel, iou_thres=iou_thres, tile=tile),
         out_shape=jax.ShapeDtypeStruct((k, 1), jnp.int32),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.ANY if interpret else pltpu.VMEM),

@@ -137,3 +137,33 @@ def test_nms_max_det_cap():
     pred = _mk_pred(boxes, [0.9] * n, [[1.0]] * n)
     det, valid, _ = non_max_suppression(pred, conf_thres=0.25, max_det=5, max_nms=64)
     assert int(np.asarray(valid[0]).sum()) == 5
+
+
+def test_nms_adaptive_paths_agree(rng):
+    """The lax.cond fast path (<=256 candidates) and the full path must give
+    identical detections; the sparse input below takes the fast path, and
+    adaptive=False forces the full path on the same data."""
+    b, n = 4, 4000
+    centers = rng.uniform(50, 600, size=(b, n, 2)).astype(np.float32)
+    wh = rng.uniform(10, 80, size=(b, n, 2)).astype(np.float32)
+    obj = np.zeros((b, n), np.float32)
+    # ~40 hot candidates per image, everything else cold
+    for i in range(b):
+        hot = rng.choice(n, 40, replace=False)
+        obj[i, hot] = rng.uniform(0.3, 1.0, size=40)
+    cls = rng.uniform(0.5, 1.0, size=(b, n, 2)).astype(np.float32)
+    pred = jnp.asarray(np.concatenate([centers, wh, obj[..., None], cls], axis=-1))
+
+    fast = non_max_suppression(pred, 0.25, 0.45, max_det=50, max_nms=1024, adaptive=True)
+    full = non_max_suppression(pred, 0.25, 0.45, max_det=50, max_nms=1024, adaptive=False)
+    for a, bb in zip(fast, full):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(bb), rtol=1e-6, atol=1e-6)
+
+    # dense scores (every box active) must route to (and agree with) the full path
+    pred_dense = jnp.asarray(
+        np.concatenate([centers, wh, np.full((b, n, 1), 0.9, np.float32), cls], axis=-1)
+    )
+    fast_d = non_max_suppression(pred_dense, 0.25, 0.45, max_det=50, max_nms=1024, adaptive=True)
+    full_d = non_max_suppression(pred_dense, 0.25, 0.45, max_det=50, max_nms=1024, adaptive=False)
+    for a, bb in zip(fast_d, full_d):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(bb), rtol=1e-6, atol=1e-6)

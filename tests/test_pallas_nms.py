@@ -31,3 +31,21 @@ def test_pallas_nms_inactive_rows(rng):
     keep = np.asarray(greedy_suppress_pallas(jnp.asarray(boxes), jnp.asarray(active), 0.45, interpret=True))
     assert keep[0] and not keep[1] and keep[2]
     assert not keep[3:].any()
+
+
+def test_pallas_nms_deep_chain_exact(rng):
+    """Suppression chains deeper than any fixed iteration bound: 100 boxes in
+    a line, each overlapping only its neighbor -> greedy keeps alternates.
+    The convergence-tested fixpoint must solve this exactly (the old bounded
+    16-iteration kernel could not)."""
+    n = 128
+    boxes = np.stack(
+        [np.arange(n) * 6.0, np.zeros(n), np.arange(n) * 6.0 + 10.0, np.full(n, 10.0)], axis=1
+    ).astype(np.float32)
+    active = np.ones(n, bool)
+    keep = np.asarray(
+        greedy_suppress_pallas(jnp.asarray(boxes), jnp.asarray(active), 0.2, tile=128, interpret=True)
+    )
+    expect = np.zeros(n, bool)
+    expect[::2] = True
+    np.testing.assert_array_equal(keep, expect)
