@@ -77,14 +77,22 @@ def _infer_fn(model, variables, decode=True):
     return fn
 
 
-def _write_meta(path, model, names=None):
+def _write_meta(path, model, names=None, **extra):
     meta = {
         "stride": list(model.strides),
         "nc": model.nc,
         "names": names or {i: str(i) for i in range(model.nc)},
         "anchors": np.asarray(model.anchors_px).tolist(),
+        **extra,
     }
     Path(str(path) + ".meta.json").write_text(json.dumps(meta))
+
+
+# Deployable artifacts must not be pinned to the platform that happened to do
+# the exporting (an artifact exported on TPU would refuse to run under a CPU
+# TF runtime: "current platform CPU is not among the platforms required").
+# Multi-platform lowering keeps one artifact valid on every target.
+_EXPORT_PLATFORMS = ("cpu", "tpu")
 
 
 @try_export
@@ -93,7 +101,7 @@ def export_stablehlo(model, variables, img_size=640, batch=1, out="model.stableh
     TPU-native 'engine' format (loads back with jax.export and runs on any
     jax backend)."""
     fn = _infer_fn(model, variables)
-    exp = jax.export.export(jax.jit(fn))(
+    exp = jax.export.export(jax.jit(fn), platforms=_EXPORT_PLATFORMS)(
         jax.ShapeDtypeStruct((batch, img_size, img_size, 3), jnp.uint8)
     )
     Path(out).write_bytes(exp.serialize())
@@ -101,12 +109,12 @@ def export_stablehlo(model, variables, img_size=640, batch=1, out="model.stableh
     return out
 
 
-def _tf_module(model, variables, img_size, batch):
+def _tf_module(model, variables, img_size, batch, platforms=_EXPORT_PLATFORMS):
     import tensorflow as tf
     from jax.experimental import jax2tf
 
     fn = _infer_fn(model, variables)
-    tf_fn = jax2tf.convert(fn, with_gradient=False)
+    tf_fn = jax2tf.convert(fn, with_gradient=False, native_serialization_platforms=list(platforms))
     m = tf.Module()
     m.f = tf.function(
         tf_fn,
@@ -134,7 +142,14 @@ def export_pb(model, variables, img_size=640, batch=1, out="model.pb", names=Non
     m = _tf_module(model, variables, img_size, batch)
     frozen = convert_variables_to_constants_v2(m.f.get_concrete_function())
     tf.io.write_graph(frozen.graph, str(Path(out).parent or "."), Path(out).name, as_text=False)
-    _write_meta(out, model, names)
+    # record the real graph tensor names so inference never has to guess
+    # (reference export.py names its output explicitly; round-1's suffix
+    # heuristic in models/backend.py was the failure)
+    _write_meta(
+        out, model, names,
+        graph_inputs=[t.name for t in frozen.inputs],
+        graph_outputs=[t.name for t in frozen.outputs],
+    )
     return out
 
 

@@ -70,10 +70,15 @@ class MultiBackend:
                     tf.nest.map_structure(g.as_graph_element, outputs),
                 )
 
-            ops = [n.name for n in gd.node]
-            inp = next(n for n in ops if "args" in n.lower() or n.startswith("x"))
-            out = ops[-1]
-            self._frozen = wrap(gd, f"{inp}:0", f"{out}:0")
+            # exact tensor names are recorded at export time (meta.json); the
+            # structural fallback only runs for artifacts without metadata
+            inp = (self.meta.get("graph_inputs") or [None])[0]
+            out = (self.meta.get("graph_outputs") or [None])[0]
+            if inp is None:
+                ops = [n.name for n in gd.node]
+                inp = next(n for n in ops if "args" in n.lower() or n.startswith("x")) + ":0"
+                out = ops[-1] + ":0"
+            self._frozen = wrap(gd, inp, out)
             self._fwd = lambda x: self._frozen(tf.constant(np.asarray(x, np.uint8))).numpy()
         elif self.type == "tflite":
             import tensorflow as tf
