@@ -191,12 +191,37 @@ def random_perspective(
         else:
             im = cv2.warpAffine(im, M[:2], dsize=(out_w, out_h), borderValue=GRAY)
 
+    # Segment-aware path (reference utils/segment/augmentations.py:random_
+    # perspective): when every target carries a polygon, warp the polygon
+    # points and re-derive boxes from their extents — tighter than warping
+    # box envelopes, and the masks stay aligned with the image warp.
+    use_segments = len(segments) and len(segments) == len(targets)
+    if use_segments:
+        new_segments = []
+        boxes = np.zeros((len(targets), 4), np.float32)
+        for j, seg in enumerate(segments):
+            pts = np.ones((len(seg), 3), np.float32)
+            pts[:, :2] = seg
+            pts = pts @ M.T.astype(np.float32)
+            pts = pts[:, :2] / pts[:, 2:3] if perspective else pts[:, :2]
+            pts[:, 0] = pts[:, 0].clip(0, out_w)
+            pts[:, 1] = pts[:, 1].clip(0, out_h)
+            new_segments.append(pts)
+            boxes[j] = (pts[:, 0].min(), pts[:, 1].min(), pts[:, 0].max(), pts[:, 1].max())
+        keep = box_candidates(box1=targets[:, 1:5].T * s, box2=boxes.T, area_thr=0.01)
+        targets = targets[keep]
+        targets[:, 1:5] = boxes[keep]
+        kept_segments = [sg for j, sg in enumerate(new_segments) if keep[j]]
+        return im, targets, kept_segments
     if len(targets):
         warped = _warp_box_envelopes(M, targets[:, 1:5], perspective, out_w, out_h)
         keep = box_candidates(box1=targets[:, 1:5].T * s, box2=warped.T, area_thr=0.10)
         targets = targets[keep]
         targets[:, 1:5] = warped[keep]
-    return im, targets
+    # arity contract: callers that opt into segments (pass a list) always get
+    # the 3-tuple back, even when the warp fell back to box envelopes;
+    # box-only callers (default segments=()) keep the 2-tuple API
+    return (im, targets, []) if isinstance(segments, list) else (im, targets)
 
 
 # ---------------------------------------------------------------------------

@@ -358,9 +358,9 @@ class YoloDataset:
         meta = np.zeros(6, np.float32)  # h0, w0, rh, rw, padw, padh
         if self.mosaic and self.rng.random() < hyp.get("mosaic", 1.0):
             build = self.load_mosaic9 if self.rng.random() < hyp.get("mosaic9", 0.0) else self.load_mosaic
-            img, labels = build(index)
+            img, labels, _ = build(index)
             if self.rng.random() < hyp.get("mixup", 0.0):
-                img2, labels2 = build(self.rng.randint(0, self.n - 1))
+                img2, labels2, _ = build(self.rng.randint(0, self.n - 1))
                 img, labels = mixup(img, labels, img2, labels2)
         else:
             img, (h0, w0), (h, w) = self.load_image(index)

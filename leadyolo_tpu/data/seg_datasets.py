@@ -4,14 +4,14 @@ Capability parity with reference utils/segment/dataloaders.py
 (LoadImagesAndLabelsAndMasks, overlap_mask mode): YOLO-seg label rows are
 ``cls x1 y1 x2 y2 ...`` normalized polygon points; boxes derive from polygon
 extents; masks rasterize to an overlap index map at 1/4 resolution matching
-the Proto output. Round-1 augmentation: letterbox + flips (segments tracked);
-mosaic-with-segments lands with the full seg trainer.
+the Proto output. Augmentation: mosaic4/mosaic9 with segment-accurate warping
+(reference utils/segment/dataloaders.py:99-134 + segment/augmentations.py),
+copy-paste, HSV, and flips with segments tracked throughout.
 """
 from __future__ import annotations
 
 import os
 
-import cv2
 import numpy as np
 
 from ..ops.masks import polygons2masks_overlap
@@ -40,41 +40,60 @@ def load_seg_label_file(path):
     return np.array(labels, np.float32).reshape(-1, 5), segments
 
 
+def _rect_polygon(xywhn):
+    """4-corner normalized polygon covering a (cls-less) xywhn box — the mask
+    interpretation of a box-only label row."""
+    cx, cy, w, h = xywhn
+    return np.array(
+        [[cx - w / 2, cy - h / 2], [cx + w / 2, cy - h / 2],
+         [cx + w / 2, cy + h / 2], [cx - w / 2, cy + h / 2]],
+        np.float32,
+    )
+
+
 class SegmentDataset(YoloDataset):
     """__getitem__ -> (img RGB uint8, labels (n,5), mask_index_map (s/d, s/d))."""
 
     def __init__(self, *args, downsample_ratio: int = 4, **kwargs):
         self.downsample_ratio = downsample_ratio
         super().__init__(*args, **kwargs)
-        self.mosaic = False  # segment mosaic lands with the full seg trainer
-
-    # label parsing: the base dataset now parses polygon rows natively and
-    # populates self.segments (aligned with labels; None for box rows)
+        # box-only rows get rectangle polygons so every label has a mask and
+        # the mosaic warp can track segments for all of them
+        for i in range(self.n):
+            segs = self.segments[i]
+            for j, sg in enumerate(segs):
+                if sg is None:
+                    segs[j] = _rect_polygon(self.labels[i][j, 1:5])
 
     def __getitem__(self, index):
-        img, (h0, w0), (h, w) = self.load_image(index)
+        hyp = self.hyp
         s = self.img_size
-        img, ratio, pad = letterbox(img, s, auto=False, scaleup=self.augment)
-        labels = self.labels[index].copy()
-        segs = []
-        for seg in self.segments[index]:
-            if seg is None:
-                segs.append(np.zeros((0, 2), np.float32))
-            else:
-                segs.append(seg * np.array([ratio[0] * w, ratio[1] * h]) + np.array(pad))
-        if labels.size:
-            labels[:, 1:] = self._xywhn2xyxy(labels[:, 1:], ratio[0] * w, ratio[1] * h, pad[0], pad[1])
-
-        flip_lr = self.augment and self.rng.random() < self.hyp.get("fliplr", 0.5)
-        if self.augment:
-            augment_hsv(img, self.hyp.get("hsv_h", 0.0), self.hyp.get("hsv_s", 0.0), self.hyp.get("hsv_v", 0.0), rng=self.rng)
-        if flip_lr:
-            img = np.fliplr(img)
+        if self.mosaic and self.rng.random() < hyp.get("mosaic", 1.0):
+            build = self.load_mosaic9 if self.rng.random() < hyp.get("mosaic9", 0.0) else self.load_mosaic
+            img, labels, segs = build(index)  # labels xyxy px, segs px
+        else:
+            img, (h0, w0), (h, w) = self.load_image(index)
+            img, ratio, pad = letterbox(img, s, auto=False, scaleup=self.augment)
+            labels = self.labels[index].copy()
+            scale = np.array([ratio[0] * w, ratio[1] * h], np.float32)
+            segs = [sg * scale + np.array(pad, np.float32) for sg in self.segments[index]]
             if labels.size:
-                labels[:, [1, 3]] = img.shape[1] - labels[:, [3, 1]]
-            segs = [np.stack([img.shape[1] - sg[:, 0], sg[:, 1]], 1) if len(sg) else sg for sg in segs]
+                labels[:, 1:] = self._xywhn2xyxy(labels[:, 1:], ratio[0] * w, ratio[1] * h, pad[0], pad[1])
 
-        # overlap index map in ORIGINAL label-slot order: pixel = slot + 1
+        if self.augment:
+            augment_hsv(img, hyp.get("hsv_h", 0.0), hyp.get("hsv_s", 0.0), hyp.get("hsv_v", 0.0), rng=self.rng)
+            if self.rng.random() < hyp.get("flipud", 0.0):
+                img = np.flipud(img)
+                if labels.size:
+                    labels[:, [2, 4]] = img.shape[0] - labels[:, [4, 2]]
+                segs = [np.stack([sg[:, 0], img.shape[0] - sg[:, 1]], 1) if len(sg) else sg for sg in segs]
+            if self.rng.random() < hyp.get("fliplr", 0.5):
+                img = np.fliplr(img)
+                if labels.size:
+                    labels[:, [1, 3]] = img.shape[1] - labels[:, [3, 1]]
+                segs = [np.stack([img.shape[1] - sg[:, 0], sg[:, 1]], 1) if len(sg) else sg for sg in segs]
+
+        # overlap index map in label-slot order: pixel = slot + 1
         d = self.downsample_ratio
         mask_map = np.zeros((s // d, s // d), np.int32)
         polys = [sg for sg in segs if len(sg)]

@@ -117,7 +117,7 @@ def generate(mosaic_root: Path):
 
     # mosaic4 through the dataset (PNG-backed, deterministic rng)
     ds = mosaic_dataset(mosaic_root)
-    m_im, m_tg = ds.load_mosaic(0)
+    m_im, m_tg, _ = ds.load_mosaic(0)
     out["mosaic4_im"] = m_im
     out["mosaic4_tg"] = m_tg
 

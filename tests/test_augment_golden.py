@@ -92,6 +92,6 @@ def test_copy_paste_golden(golden, im):
 
 def test_mosaic4_golden(golden, tmp_path):
     ds = mosaic_dataset(tmp_path)
-    m_im, m_tg = ds.load_mosaic(0)
+    m_im, m_tg, _ = ds.load_mosaic(0)
     np.testing.assert_array_equal(m_im, golden["mosaic4_im"])
     np.testing.assert_allclose(m_tg, golden["mosaic4_tg"], rtol=0, atol=1e-12)

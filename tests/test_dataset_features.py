@@ -42,7 +42,7 @@ def test_polygon_labels_become_boxes_and_segments(tmp_path):
 def test_mosaic9(tmp_path):
     path = make_dataset(tmp_path, n=9)
     ds = YoloDataset(path, img_size=256, augment=True, hyp={"mosaic9": 1.0}, seed=3)
-    img, labels = ds.load_mosaic9(0)
+    img, labels, _ = ds.load_mosaic9(0)
     assert img.shape == (256, 256, 3)
     if len(labels):
         assert (labels[:, 1:] >= 0).all() and (labels[:, 1:] <= 256).all()
@@ -59,7 +59,7 @@ def test_copy_paste_wired_into_mosaic(tmp_path):
     )
     # polygon rows produce segments, so copy_paste can fire inside the mosaic
     assert any(s is not None for s in ds.segments[0])
-    img, labels = ds.load_mosaic(0)
+    img, labels, _ = ds.load_mosaic(0)
     assert img.shape == (192, 192, 3)
     assert np.isfinite(labels).all()
 

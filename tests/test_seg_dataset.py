@@ -38,7 +38,10 @@ def test_segment_dataset(seg_root):
     assert img.shape == (128, 128, 3)
     assert len(labels) == 2
     assert mask_map.shape == (32, 32)
-    assert mask_map.max() == 1  # polygon instance is slot 0 -> value 1
+    # polygon instance is slot 0 -> value 1; the box-only row gets a
+    # rectangle polygon so it rasterizes too (slot 1 -> value 2)
+    assert mask_map.max() == 2
+    assert (mask_map == 1).any() and (mask_map == 2).any()
     imgs, targets, tmask, maps = ds.collate([ds[i] for i in range(4)])
     assert maps.shape == (4, 32, 32) and tmask.sum() == 8
 
@@ -110,3 +113,41 @@ def test_seg_validator_runs(seg_root):
     for k in ("box", "mask"):
         for m in ("mp", "mr", "map50", "map"):
             assert np.isfinite(res[k][m])
+
+def test_seg_mosaic(seg_root):
+    """Mosaic-with-segments: the mask map must stay aligned with the warped
+    boxes — every labeled instance's mask pixels lie inside (a slightly
+    dilated) version of its box, and box-only rows get rectangle masks."""
+    ds = SegmentDataset(
+        seg_root, img_size=128, augment=True, max_targets=16, seed=3,
+        hyp={"mosaic": 1.0, "fliplr": 0.5, "scale": 0.5, "translate": 0.1},
+    )
+    assert ds.mosaic  # augment + hyp enables the mosaic path
+    # every segment slot is populated (box rows got rectangle polygons)
+    assert all(sg is not None for segs in ds.segments for sg in segs)
+    found_instance = False
+    for i in range(4):
+        img, labels, mask_map = ds[i]
+        assert img.shape == (128, 128, 3) and mask_map.shape == (32, 32)
+        for slot, row in enumerate(labels):
+            ys, xs = np.nonzero(mask_map == slot + 1)
+            if not len(ys):
+                continue  # tiny warped instances can rasterize away at 1/4 res
+            found_instance = True
+            cx, cy, w, h = row[1] * 128, row[2] * 128, row[3] * 128, row[4] * 128
+            x1, y1, x2, y2 = (cx - w / 2) / 4, (cy - h / 2) / 4, (cx + w / 2) / 4, (cy + h / 2) / 4
+            assert xs.min() >= x1 - 1.5 and xs.max() <= x2 + 1.5
+            assert ys.min() >= y1 - 1.5 and ys.max() <= y2 + 1.5
+    assert found_instance
+
+
+def test_seg_mosaic_deterministic(seg_root):
+    a = SegmentDataset(seg_root, img_size=128, augment=True, max_targets=16, seed=7,
+                       hyp={"mosaic": 1.0})
+    b = SegmentDataset(seg_root, img_size=128, augment=True, max_targets=16, seed=7,
+                       hyp={"mosaic": 1.0})
+    ia, la, ma = a[1]
+    ib, lb, mb = b[1]
+    np.testing.assert_array_equal(ia, ib)
+    np.testing.assert_array_equal(la, lb)
+    np.testing.assert_array_equal(ma, mb)
