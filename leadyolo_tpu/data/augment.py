@@ -282,3 +282,57 @@ def copy_paste(im, labels, segments, p=0.5, rng: random.Random | None = None):
     sel = cv2.flip(paste_mask, 1).astype(bool)
     im[sel] = flipped[sel]
     return im, labels, segments
+
+
+# ---------------------------------------------------------------------------
+# optional photometric pipeline (reference Albumentations wrapper)
+# ---------------------------------------------------------------------------
+
+
+class PhotometricAugment:
+    """Rare photometric corruptions applied under ``augment=True``.
+
+    Capability counterpart of the reference's optional Albumentations wrapper
+    (utils/augmentations.py:22-52): Blur / MedianBlur / ToGray / CLAHE each at
+    p=0.01, label-preserving. The reference silently no-ops when the package
+    isn't installed; here the same default transforms are first-party cv2, so
+    the capability is always present. If the ``albumentations`` package IS
+    importable, it is used instead (same transform set, same probabilities),
+    preserving the reference's extension point.
+    """
+
+    def __init__(self, p: float = 0.01):
+        self.p = p
+        self._alb = None
+        try:  # optional dependency, reference parity
+            import albumentations as A
+
+            self._alb = A.Compose(
+                [A.Blur(p=p), A.MedianBlur(p=p), A.ToGray(p=p), A.CLAHE(p=p)],
+                bbox_params=A.BboxParams(format="yolo", label_fields=["class_labels"]),
+            )
+        except ImportError:
+            pass
+
+    def __call__(self, im, labels, rng: random.Random | None = None):
+        """``labels`` are (n, 5) cls+xywhn; photometric ops never move boxes."""
+        rng = rng or random
+        if self._alb is not None:
+            out = self._alb(image=im, bboxes=labels[:, 1:], class_labels=labels[:, 0])
+            im = out["image"]
+            if len(out["bboxes"]):
+                labels = np.array([[c, *b] for c, b in zip(out["class_labels"], out["bboxes"])], np.float32)
+            return im, labels
+        if rng.random() < self.p:  # box blur, random odd kernel 3..7
+            k = 2 * rng.randint(1, 3) + 1
+            im = cv2.blur(im, (k, k))
+        if rng.random() < self.p:  # median blur
+            k = 2 * rng.randint(1, 3) + 1
+            im = cv2.medianBlur(im, k)
+        if rng.random() < self.p:  # to-gray (replicated to 3 channels)
+            im = cv2.cvtColor(cv2.cvtColor(im, cv2.COLOR_BGR2GRAY), cv2.COLOR_GRAY2BGR)
+        if rng.random() < self.p:  # CLAHE on the luma plane
+            yuv = cv2.cvtColor(im, cv2.COLOR_BGR2YUV)
+            yuv[..., 0] = cv2.createCLAHE(clipLimit=4.0, tileGridSize=(8, 8)).apply(yuv[..., 0])
+            im = cv2.cvtColor(yuv, cv2.COLOR_YUV2BGR)
+        return im, labels

@@ -24,7 +24,7 @@ import cv2
 import numpy as np
 import yaml
 
-from .augment import augment_hsv, copy_paste, letterbox, mixup, random_perspective
+from .augment import PhotometricAugment, augment_hsv, copy_paste, letterbox, mixup, random_perspective
 
 IMG_FORMATS = ("bmp", "dng", "jpeg", "jpg", "mpo", "png", "tif", "tiff", "webp", "pfm")
 CACHE_VERSION = "leadyolo-tpu-0.3"
@@ -189,6 +189,7 @@ class YoloDataset:
         self.return_shapes = return_shapes
         self.log_fn = log_fn
         self.mosaic = augment and not rect and self.hyp.get("mosaic", 1.0) > 0
+        self.photometric = PhotometricAugment() if augment else None
         self.mosaic_border = [-img_size // 2, -img_size // 2]
         self.rng = random.Random(seed)
 
@@ -390,6 +391,8 @@ class YoloDataset:
             labels[:, 1:5] = self._xyxy2xywhn(labels[:, 1:5], img.shape[1], img.shape[0])
 
         if self.augment:
+            img, labels = self.photometric(img, labels, rng=self.rng)
+            nl = len(labels)
             augment_hsv(
                 img, hyp.get("hsv_h", 0.015), hyp.get("hsv_s", 0.7), hyp.get("hsv_v", 0.4), rng=self.rng
             )

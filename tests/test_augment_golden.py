@@ -95,3 +95,27 @@ def test_mosaic4_golden(golden, tmp_path):
     m_im, m_tg, _ = ds.load_mosaic(0)
     np.testing.assert_array_equal(m_im, golden["mosaic4_im"])
     np.testing.assert_allclose(m_tg, golden["mosaic4_tg"], rtol=0, atol=1e-12)
+
+
+def test_photometric_augment():
+    """Label-preserving photometric pipeline (reference Albumentations
+    wrapper): boxes never move, image stays uint8 same-shape, and with p=1
+    every transform fires (visibly changes the image)."""
+    import random
+
+    from leadyolo_tpu.data.augment import PhotometricAugment
+
+    rng = np.random.default_rng(0)
+    im = rng.uniform(0, 255, (96, 128, 3)).astype(np.uint8)
+    labels = np.array([[0, 0.5, 0.5, 0.4, 0.4]], np.float32)
+
+    aug = PhotometricAugment(p=1.0)
+    out, lb = aug(im.copy(), labels.copy(), rng=random.Random(0))
+    assert out.shape == im.shape and out.dtype == np.uint8
+    np.testing.assert_array_equal(lb, labels)
+    assert (out != im).any()  # at p=1 the blurs/gray/CLAHE must change pixels
+    # gray fired: all three channels equal
+    assert (out[..., 0] == out[..., 1]).all() and (out[..., 1] == out[..., 2]).all()
+
+    noop, lb2 = PhotometricAugment(p=0.0)(im.copy(), labels.copy(), rng=random.Random(0))
+    np.testing.assert_array_equal(noop, im)
