@@ -207,18 +207,22 @@ EXPORTERS = {
 def run(weights, include=("stablehlo",), cfg="lead-yolo", imgsz=640, batch=1, int8=False, data=None, out_dir="runs/export"):
     from .val import load_weights
 
+    from ..utils import disable_fused_kernels
+
     model, variables = load_weights(weights, cfg)
     out_dir = Path(out_dir)
     out_dir.mkdir(parents=True, exist_ok=True)
     stem = Path(weights).stem
     outs = []
-    for fmt in include:
-        suffix = dict((a, s) for _, a, s, _ in export_formats())[fmt]
-        out = out_dir / (stem + suffix)
-        kwargs = dict(img_size=imgsz, batch=batch, out=str(out))
-        if fmt == "tflite":
-            kwargs.update(int8=int8, rep_data=data)
-        outs.append(EXPORTERS[fmt](model, variables, **kwargs))
+    # exported graphs must stay portable (jax2tf cannot serialize pallas_call)
+    with disable_fused_kernels():
+        for fmt in include:
+            suffix = dict((a, s) for _, a, s, _ in export_formats())[fmt]
+            out = out_dir / (stem + suffix)
+            kwargs = dict(img_size=imgsz, batch=batch, out=str(out))
+            if fmt == "tflite":
+                kwargs.update(int8=int8, rep_data=data)
+            outs.append(EXPORTERS[fmt](model, variables, **kwargs))
     return outs
 
 

@@ -23,6 +23,7 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
+from ..utils import fused_kernels_enabled
 from .attention import SE
 from .functional import avg_pool2d, hswish, torch_conv_bias_init, torch_conv_kernel_init
 from .layers import BatchNorm, Conv2d
@@ -100,6 +101,30 @@ class RFCBAMConv(nn.Module):
         c = x.shape[-1]
         k = self.k
         ch_attn = SE(16, name="se")(x, train)  # (B,1,1,C)
+
+        # Fused Pallas inference path for the strided head convs (k=3, s=2):
+        # keeps the k^2 expansion in VMEM — see nn/pallas_rfcbam.py. Training
+        # and init keep the autodiff-friendly XLA form below; both share the
+        # exact same parameter tree.
+        if (
+            not train
+            and not self.is_initializing()
+            and k == 3
+            and self.s == 2
+            and x.shape[1] % 2 == 0
+            and x.shape[2] % 2 == 0
+            and fused_kernels_enabled()
+        ):
+            import jax as _jax
+
+            from .pallas_rfcbam import rfcbam_fused_infer
+
+            v = self.variables
+            return rfcbam_fused_infer(
+                x, ch_attn, v["params"], v["batch_stats"], self.c2,
+                interpret=_jax.default_backend() != "tpu",
+            )
+
         feat = _generate_features(x, k, self.s, c, "generate", self, train)
         b, h, w, _, _ = feat.shape
 

@@ -1,4 +1,45 @@
+import contextlib
 import os
+
+# tri-state override for the fused Pallas inference kernels:
+# None = default (off — opt in explicitly), True/False = forced
+_FUSED_OVERRIDE = None
+
+
+def fused_kernels_enabled() -> bool:
+    """Whether inference modules should take their fused Pallas paths.
+
+    Default OFF: the XLA path is the portable numerical reference, and the
+    fused kernels' Mosaic compile is expensive on cold caches (~minutes per
+    shape on remote-compile backends), so production entry points opt in
+    deliberately. Enable with set_fused_kernels(True) or LEADYOLO_FUSED=1.
+    Export paths force-disable them — jax2tf cannot serialize pallas_call,
+    and exported artifacts must stay portable.
+    """
+    if _FUSED_OVERRIDE is not None:
+        return _FUSED_OVERRIDE
+    env = os.environ.get("LEADYOLO_FUSED")
+    if env is not None:
+        return env not in ("0", "false", "off")
+    return False
+
+
+def set_fused_kernels(value):
+    """Force fused kernels on/off (None restores auto)."""
+    global _FUSED_OVERRIDE
+    _FUSED_OVERRIDE = value
+
+
+@contextlib.contextmanager
+def disable_fused_kernels():
+    """Scoped opt-out (export / numerical-reference paths)."""
+    global _FUSED_OVERRIDE
+    prev = _FUSED_OVERRIDE
+    _FUSED_OVERRIDE = False
+    try:
+        yield
+    finally:
+        _FUSED_OVERRIDE = prev
 
 
 def enable_compilation_cache(path: str = "/tmp/leadyolo_jax_cache"):
