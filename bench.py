@@ -18,9 +18,13 @@ BASELINE_FPS = 35.3  # reference LEAD-YOLO FPS (README.md:126-128)
 
 
 def main():
-    from leadyolo_tpu.utils import enable_compilation_cache
+    from leadyolo_tpu.utils import enable_compilation_cache, set_fused_kernels
 
     enable_compilation_cache()
+    # Fused Pallas inference kernels (RFCBAMConv): A/B-verified on the real
+    # chip — 2.9x / 2.4x on the two strided head layers at batch 128 with
+    # p99 |diff| 1e-4 vs the XLA path, and mAP-invariant on trained weights.
+    set_fused_kernels(True)
     from leadyolo_tpu.models.yolo import DetectionModel
     from leadyolo_tpu.ops.nms import non_max_suppression
 

@@ -87,7 +87,12 @@ def run(
     vid_stride: int = 1,
     names: dict | None = None,
     log_fn=print,
+    fused: bool = False,
 ):
+    if fused:
+        from ..utils import set_fused_kernels
+
+        set_fused_kernels(True)
     save_dir = Path(save_dir)
     (save_dir / "labels" if save_txt else save_dir).mkdir(parents=True, exist_ok=True)
 
@@ -170,6 +175,8 @@ def parse_opt():
     p.add_argument("--agnostic-nms", action="store_true")
     p.add_argument("--augment", action="store_true", help="TTA scale+flip ensemble")
     p.add_argument("--vid-stride", type=int, default=1)
+    p.add_argument("--fused", action="store_true",
+                   help="fused Pallas inference kernels (TPU; mAP-invariant, slow first compile)")
     return p.parse_args()
 
 

@@ -53,7 +53,12 @@ def run(
     augment=False,
     rect=True,
     save_json=None,
+    fused=False,
 ):
+    if fused:
+        from ..utils import set_fused_kernels
+
+        set_fused_kernels(True)
     data_cfg = resolve_data(data)
     model, variables = load_weights(weights, cfg, nc=data_cfg["nc"])
     split = data_cfg.get(task if task != "study" else "val") or data_cfg["val"]
@@ -107,6 +112,8 @@ def parse_opt():
     p.add_argument("--augment", action="store_true", help="TTA scale+flip ensemble")
     p.add_argument("--no-rect", dest="rect", action="store_false", help="square letterbox instead of rect buckets")
     p.add_argument("--save-json", type=str, default=None, help="write native-space COCO records here")
+    p.add_argument("--fused", action="store_true",
+                   help="fused Pallas inference kernels (TPU; mAP-invariant, slow first compile)")
     return p.parse_args()
 
 

@@ -111,19 +111,18 @@ class RFCBAMConv(nn.Module):
             and not self.is_initializing()
             and k == 3
             and self.s == 2
-            and x.shape[1] % 2 == 0
-            and x.shape[2] % 2 == 0
             and fused_kernels_enabled()
         ):
             import jax as _jax
 
-            from .pallas_rfcbam import rfcbam_fused_infer
+            from .pallas_rfcbam import rfcbam_fused_infer, supports
 
-            v = self.variables
-            return rfcbam_fused_infer(
-                x, ch_attn, v["params"], v["batch_stats"], self.c2,
-                interpret=_jax.default_backend() != "tpu",
-            )
+            if supports(x.shape, self.c2):
+                v = self.variables
+                return rfcbam_fused_infer(
+                    x, ch_attn, v["params"], v["batch_stats"], self.c2,
+                    interpret=_jax.default_backend() != "tpu",
+                )
 
         feat = _generate_features(x, k, self.s, c, "generate", self, train)
         b, h, w, _, _ = feat.shape
