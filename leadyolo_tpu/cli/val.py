@@ -1,7 +1,9 @@
 """Validation CLI (reference val.py:349-378 surface equivalent).
 
 Accepts our .ckpt checkpoints or reference .pt checkpoints (converted on the
-fly through the stub unpickler). Tasks: val/test/speed.
+fly through the stub unpickler). Tasks: train/val/test/speed/study
+(reference val.py:384-413 — speed switches to conf 0.25 / iou 0.45 / no JSON,
+study sweeps resolutions).
 """
 from __future__ import annotations
 
@@ -59,9 +61,12 @@ def run(
         from ..utils import set_fused_kernels
 
         set_fused_kernels(True)
+    if task == "speed":
+        # benchmark-mode thresholds, no JSON (reference val.py:384-390)
+        conf_thres, iou_thres, save_json = 0.25, 0.45, None
     data_cfg = resolve_data(data)
     model, variables = load_weights(weights, cfg, nc=data_cfg["nc"])
-    split = data_cfg.get(task if task != "study" else "val") or data_cfg["val"]
+    split = data_cfg.get(task if task not in ("study", "speed") else "val") or data_cfg["val"]
     if task == "study":
         # resolution sweep (reference val.py:400-411): mAP + latency per size
         rows = []
@@ -106,7 +111,8 @@ def parse_opt():
     p.add_argument("--conf-thres", type=float, default=0.001)
     p.add_argument("--iou-thres", type=float, default=0.6)
     p.add_argument("--max-det", type=int, default=300)
-    p.add_argument("--task", type=str, default="val", choices=["train", "val", "test", "speed"])
+    p.add_argument("--task", type=str, default="val",
+                   choices=["train", "val", "test", "speed", "study"])
     p.add_argument("--no-half", dest="half", action="store_false")
     p.add_argument("--workers", type=int, default=8)
     p.add_argument("--augment", action="store_true", help="TTA scale+flip ensemble")

@@ -91,6 +91,7 @@ def validate(
     infer_time = 0.0
     timed_images = 0
     compiled_shapes = set()
+    kept_batches = {}
     json_records = []
 
     for imgs, targets, tmask, metas in dl:
@@ -111,10 +112,11 @@ def validate(
             # scale batch time by its real-image fraction (final batch is padded)
             infer_time += dt * (b / batch_size)
             timed_images += b
+            kept_batches.clear()
         elif timed_images == 0:
-            # no timed batch yet: keep a compile-tainted fallback so tiny
-            # datasets still report a (pessimistic) speed
-            fallback_time, fallback_images = dt * (b / batch_size), b
+            # no untainted batch yet: remember one batch per shape so we can
+            # re-time it post-compile if the whole run is single-batch buckets
+            kept_batches[imgs.shape[1:3]] = (imgs, b)
 
         for i in range(b):
             seen += 1
@@ -163,8 +165,15 @@ def validate(
         r = None
         mp = mr = map50 = mapm = 0.0
 
-    if timed_images == 0 and seen:
-        infer_time, timed_images = fallback_time, fallback_images
+    if timed_images == 0 and kept_batches:
+        # every bucket had exactly one (compile-tainted) batch: re-run each
+        # kept batch once — already compiled — for an untainted speed number
+        for imgs_k, b_k in kept_batches.values():
+            t0 = time.perf_counter()
+            det_k, valid_k = infer(variables, jnp.asarray(imgs_k))
+            np.asarray(det_k), np.asarray(valid_k)
+            infer_time += (time.perf_counter() - t0) * (b_k / batch_size)
+            timed_images += b_k
     speed_ms = infer_time / max(timed_images, 1) * 1000.0
     out = {
         "mp": mp,

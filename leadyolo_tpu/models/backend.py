@@ -37,7 +37,31 @@ class MultiBackend:
         self.nc = self.meta.get("nc", nc)
         self.img_size = img_size
 
-        if self.type in ("ckpt", "pt"):
+        # remote detections arrive post-NMS (xyxy, conf, cls) — consumers must
+        # skip their own NMS when this is set (reference routes triton:// URLs
+        # the same way, models/common.py:841-854)
+        self.post_nms = self.type == "remote"
+
+        if self.type == "remote":
+            from ..serve.remote import RemoteModel
+
+            url = w[len("remote://"):] if w.startswith("remote://") else w
+            if "//" not in url:
+                url = "http://" + url
+            base, _, name = url.rpartition("/")
+            self._client = RemoteModel(base, name)
+
+            def remote_fwd(x):
+                x = np.asarray(x)
+                dets = [self._client(im[:, :, ::-1])[0] for im in x]  # RGB->BGR wire format
+                m = max((len(d) for d in dets), default=0)
+                out = np.zeros((len(dets), m, 6), np.float32)
+                for i, d in enumerate(dets):
+                    out[i, : len(d)] = d
+                return out
+
+            self._fwd = remote_fwd
+        elif self.type in ("ckpt", "pt"):
             from ..cli.val import load_weights
 
             self.model, self.variables = load_weights(w, cfg, nc=nc)
@@ -100,6 +124,8 @@ class MultiBackend:
     @staticmethod
     def _model_type(w: str) -> str:
         """Suffix-based backend detection (reference models/common.py:841-854)."""
+        if w.startswith(("http://", "https://", "remote://")):
+            return "remote"
         suffixes = {
             ".ckpt": "ckpt",
             ".pt": "pt",

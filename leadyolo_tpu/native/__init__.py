@@ -22,7 +22,10 @@ _lib = None
 def _build() -> bool:
     try:
         subprocess.run(
-            ["g++", "-O3", "-march=native", "-shared", "-fPIC", "-std=c++17", "-pthread", str(_SRC), "-o", str(_SO)],
+            # portable baseline (no -march=native): the .so may be cached on a
+            # shared filesystem and loaded by heterogeneous hosts — an
+            # AVX-512-tuned artifact would SIGILL on an older core
+            ["g++", "-O3", "-shared", "-fPIC", "-std=c++17", "-pthread", str(_SRC), "-o", str(_SO)],
             check=True,
             capture_output=True,
             timeout=120,
