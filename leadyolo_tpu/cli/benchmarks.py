@@ -19,7 +19,8 @@ from ..train.trainer import resolve_data
 from .export import EXPORTERS, export_formats, run as export_run
 
 
-def run(weights, data="ssdd", cfg="lead-yolo", imgsz=640, batch=1, hard_fail=None, out_dir="runs/benchmarks"):
+def run(weights, data="ssdd", cfg="lead-yolo", imgsz=640, batch=1, hard_fail=None,
+        out_dir="runs/benchmarks", n_eval=None, int8=False):
     from ..models.backend import MultiBackend
     from ..ops.metrics import ap_per_class, process_batch
     from ..ops.nms import non_max_suppression
@@ -41,9 +42,20 @@ def run(weights, data="ssdd", cfg="lead-yolo", imgsz=640, batch=1, hard_fail=Non
     for (name, arg, suffix, ok), art in zip([f for f in export_formats() if f[3]], exported):
         if art:
             artifacts[arg] = art
+    if int8:
+        # int8 TFLite with a representative train-set calibration pass
+        # (reference export.py:372-401) as an extra sweep row
+        from .export import run as export_int8_run
+
+        i8 = export_int8_run(weights, include=["tflite"], cfg=cfg, imgsz=imgsz, batch=batch,
+                             int8=True, data=data_cfg["train"], out_dir=str(Path(out_dir) / "int8"))
+        if i8 and i8[0]:
+            artifacts["tflite-int8"] = i8[0]
 
     ds = YoloDataset(data_cfg["val"], img_size=imgsz, augment=False, max_targets=128)
-    n_eval = min(64, len(ds))
+    # default: the FULL val split (the reference's benchmarks.py:52-113 runs
+    # full-split val per format); n_eval subsets only when asked
+    n_eval = len(ds) if n_eval is None else min(n_eval, len(ds))
     iouv = np.linspace(0.5, 0.95, 10)
 
     for fmt, art in artifacts.items():
@@ -90,9 +102,15 @@ def run(weights, data="ssdd", cfg="lead-yolo", imgsz=640, batch=1, hard_fail=Non
         print(f"{fmt:<14}{str(mp):>10}{str(ms):>10}  {art}")
 
     if hard_fail is not None:
-        worst = min((r[2] for r in rows if r[2] is not None), default=0.0)
-        if worst < hard_fail:
-            print(f"HARD FAIL: min mAP {worst} < floor {hard_fail}")
+        # int8 rows get the reference CI's quantization floor (0.29,
+        # ci-testing.yml benchmarks job) — full-int8 costs real mAP by design
+        int8_floor = min(hard_fail, 0.29)
+        failed = [
+            (fmt, mp) for fmt, _, mp, _ in rows
+            if mp is not None and mp < (int8_floor if "int8" in fmt else hard_fail)
+        ]
+        if failed:
+            print(f"HARD FAIL: {failed} below floor {hard_fail} (int8 floor {int8_floor})")
             sys.exit(1)
     return rows
 
@@ -105,8 +123,10 @@ def main():
     p.add_argument("--imgsz", type=int, default=640)
     p.add_argument("--batch", type=int, default=1)
     p.add_argument("--hard-fail", type=float, default=None)
+    p.add_argument("--n-eval", type=int, default=None, help="subset size (default: full val split)")
+    p.add_argument("--int8", action="store_true", help="add an int8 TFLite row (representative-dataset calibrated)")
     a = p.parse_args()
-    run(a.weights, a.data, a.cfg, a.imgsz, a.batch, a.hard_fail)
+    run(a.weights, a.data, a.cfg, a.imgsz, a.batch, a.hard_fail, n_eval=a.n_eval, int8=a.int8)
 
 
 if __name__ == "__main__":

@@ -68,10 +68,16 @@ def _size_mb(p):
     return p.stat().st_size / 1e6 if p.exists() else 0.0
 
 
-def _infer_fn(model, variables, decode=True):
+def _infer_fn(model, variables, decode=True, normalize=None):
+    """normalize: image size to divide the box channels by, putting the whole
+    output tensor in [0,1] — required for int8 TFLite, where ONE per-tensor
+    scale must cover boxes AND probabilities (the reference normalizes in
+    TFDetect for the same reason, models/tf.py:273-321, and rescales at load,
+    models/common.py:751-754)."""
+
     def fn(images):
         x = images.astype(jnp.float32) / 255.0
-        preds = model.apply(variables, x, train=False, decode=decode)
+        preds = model.apply(variables, x, train=False, decode=decode, normalize=normalize)
         return preds[0] if isinstance(preds, tuple) else preds
 
     return fn
@@ -109,11 +115,11 @@ def export_stablehlo(model, variables, img_size=640, batch=1, out="model.stableh
     return out
 
 
-def _tf_module(model, variables, img_size, batch, platforms=_EXPORT_PLATFORMS):
+def _tf_module(model, variables, img_size, batch, platforms=_EXPORT_PLATFORMS, normalize=None):
     import tensorflow as tf
     from jax.experimental import jax2tf
 
-    fn = _infer_fn(model, variables)
+    fn = _infer_fn(model, variables, normalize=normalize)
     tf_fn = jax2tf.convert(fn, with_gradient=False, native_serialization_platforms=list(platforms))
     m = tf.Module()
     m.f = tf.function(
@@ -157,7 +163,9 @@ def export_pb(model, variables, img_size=640, batch=1, out="model.pb", names=Non
 def export_tflite(model, variables, img_size=640, batch=1, out="model.tflite", int8=False, rep_data=None, names=None):
     import tensorflow as tf
 
-    m = _tf_module(model, variables, img_size, batch)
+    # int8 graphs emit [0,1]-normalized boxes so one per-tensor scale covers
+    # the whole output; MultiBackend rescales at load (meta "normalized")
+    m = _tf_module(model, variables, img_size, batch, normalize=img_size if int8 else None)
     conv = tf.lite.TFLiteConverter.from_concrete_functions([m.f.get_concrete_function()], m)
     conv.target_spec.supported_ops = [tf.lite.OpsSet.TFLITE_BUILTINS, tf.lite.OpsSet.SELECT_TF_OPS]
     if int8:
@@ -174,7 +182,7 @@ def export_tflite(model, variables, img_size=640, batch=1, out="model.tflite", i
         conv.optimizations = [tf.lite.Optimize.DEFAULT]
         conv.representative_dataset = rep
     Path(out).write_bytes(conv.convert())
-    _write_meta(out, model, names)
+    _write_meta(out, model, names, normalized=bool(int8))
     return out
 
 

@@ -115,7 +115,13 @@ class MultiBackend:
             def tflite_fwd(x):
                 self._interp.set_tensor(self._in["index"], np.asarray(x, self._in["dtype"]))
                 self._interp.invoke()
-                return self._interp.get_tensor(self._out["index"])
+                y = self._interp.get_tensor(self._out["index"])
+                if self.meta.get("normalized"):
+                    # int8 artifacts carry [0,1] boxes (one per-tensor scale
+                    # must cover boxes AND probabilities); rescale to pixels
+                    # like the reference (models/common.py:751-754)
+                    y = np.concatenate([y[..., :4] * float(self.img_size), y[..., 4:]], axis=-1)
+                return y
 
             self._fwd = tflite_fwd
         else:

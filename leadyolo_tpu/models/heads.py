@@ -141,12 +141,19 @@ def make_grids(shapes, anchors, strides):
     return grids, agrids
 
 
-def decode_predictions(outs, anchors, strides, nc):
+def decode_predictions(outs, anchors, strides, nc, normalize=None):
     """Raw per-level maps -> (B, N, 5+nc[+extra]) box predictions in pixels.
 
     xy = (2*sigmoid - 0.5 + cell) * stride ; wh = (2*sigmoid)^2 * anchor_px
     (reference models/yolo.py:107-117). Extra trailing channels (segment mask
     coefficients) pass through un-sigmoided, like the reference.
+
+    normalize: image size to put boxes in [0,1] AT THE SOURCE — the stride
+    and anchor scales are pre-divided so no pixel-range tensor ever exists in
+    the graph. int8 TFLite export needs this: the decode's channel concat
+    gets one per-tensor scale, and pixel boxes (0..640) sharing it with
+    probabilities (0..1) crush the latter to zero (the reference normalizes
+    inside TFDetect for the same reason, models/tf.py:273-321).
     """
     no = outs[0].shape[-1]
     nmask = no - 5 - nc
@@ -154,6 +161,9 @@ def decode_predictions(outs, anchors, strides, nc):
     grids, agrids = make_grids(shapes, anchors, strides)
     z = []
     for o, g, ag, s in zip(outs, grids, agrids, strides):
+        if normalize:
+            s = s / float(normalize)
+            ag = ag / float(normalize)
         b, ny, nx, na, _ = o.shape
         xy, wh, conf, extra = jnp.split(o, (2, 4, 5 + nc), axis=-1)
         xy = (jax.nn.sigmoid(xy) * 2 - 0.5 + g[None, :, :, None, :].astype(o.dtype)) * s

@@ -119,9 +119,12 @@ class DetectionModel:
 
     # ---- inference / training entry points ----
 
-    def apply(self, variables, x, train: bool = False, decode: bool = True, rngs=None):
+    def apply(self, variables, x, train: bool = False, decode: bool = True, rngs=None,
+              normalize=None):
         """Forward. train=True returns (raw_outs, new_batch_stats); eval
-        returns decoded (B, N, no) predictions (decode=True) or raw maps."""
+        returns decoded (B, N, no) predictions (decode=True) or raw maps.
+        normalize: emit [0,1]-normalized boxes (int8 export path, see
+        decode_predictions)."""
         if train:
             outs, mutated = self.net.apply(variables, x, train=True, mutable=["batch_stats"], rngs=rngs)
             return outs, mutated["batch_stats"]
@@ -129,12 +132,12 @@ class DetectionModel:
         if self.is_detect and decode:
             if isinstance(self.head, Segment):
                 det, proto = outs
-                return self.decode(det), proto
-            return self.decode(outs)
+                return self.decode(det, normalize), proto
+            return self.decode(outs, normalize)
         return outs
 
-    def decode(self, outs):
-        return decode_predictions(outs, self.anchors_grid, self.strides, self.nc)
+    def decode(self, outs, normalize=None):
+        return decode_predictions(outs, self.anchors_grid, self.strides, self.nc, normalize)
 
     def apply_augmented(self, variables, x):
         """TTA: multi-scale + flip inference with de-scaling and tail clipping

@@ -123,3 +123,20 @@ def test_tta_augmented_inference():
     x = jnp.zeros((1, 128, 128, 3), jnp.float32)
     y = m.apply_augmented(v, x)
     assert y.ndim == 3 and y.shape[-1] == m.nc + 5
+
+
+def test_normalized_decode_matches_pixel_decode():
+    """normalize=imgsz must divide the box channels at the source and leave
+    conf/cls untouched (the int8 TFLite export contract, cli/export.py)."""
+    import numpy as np
+
+    m = DetectionModel("yolov5n")
+    v = m.init(jax.random.PRNGKey(0))
+    x = jax.random.uniform(jax.random.PRNGKey(1), (1, 64, 64, 3), jnp.float32)
+    y_px = np.asarray(m.apply(v, x, train=False, decode=True))
+    y_nm = np.asarray(m.apply(v, x, train=False, decode=True, normalize=64))
+    np.testing.assert_allclose(y_nm[..., :4] * 64.0, y_px[..., :4], rtol=1e-5, atol=1e-4)
+    np.testing.assert_allclose(y_nm[..., 4:], y_px[..., 4:], rtol=0, atol=0)
+    # xy is grid-bounded so normalized xy stays ~[0,1]; wh is anchor-scaled
+    # and can exceed 1 on an untrained net
+    assert float(y_nm[..., :2].max()) <= 1.5
