@@ -397,15 +397,16 @@ class YoloDataset:
                 img, hyp.get("hsv_h", 0.015), hyp.get("hsv_s", 0.7), hyp.get("hsv_v", 0.4), rng=self.rng
             )
             if self.rng.random() < hyp.get("flipud", 0.0):
-                img = np.flipud(img)
+                img = cv2.flip(img, 0)  # contiguous result; releases the GIL
                 if nl:
                     labels[:, 2] = 1 - labels[:, 2]
             if self.rng.random() < hyp.get("fliplr", 0.5):
-                img = np.fliplr(img)
+                img = cv2.flip(img, 1)
                 if nl:
                     labels[:, 1] = 1 - labels[:, 1]
 
-        img = np.ascontiguousarray(img[:, :, ::-1])  # BGR -> RGB, HWC
+        img = cv2.cvtColor(img, cv2.COLOR_BGR2RGB)  # contiguous; releases the GIL
+        img = np.ascontiguousarray(img) if not img.flags["C_CONTIGUOUS"] else img
         if self.return_shapes:
             return img, labels.astype(np.float32), meta
         return img, labels.astype(np.float32)
@@ -475,6 +476,26 @@ class YoloDataset:
             rng=self.rng,
         )
 
+    @staticmethod
+    def _assemble(tiles, canvas_hw):
+        """Tile copies into a fresh 114-gray canvas: GIL-free native engine
+        when available (the numpy np.full + slice-assign equivalent holds the
+        GIL and capped the augmenting loader at ~50 img/s — tools/input_wall.py),
+        bit-identical numpy fallback otherwise."""
+        from ..native import assemble_tiles_native
+
+        canvas = assemble_tiles_native(tiles, canvas_hw)
+        if canvas is not None:
+            return canvas
+        canvas = np.full((*canvas_hw, 3), 114, dtype=np.uint8)
+        for img, (dy, dx, sy, sx, h, w) in tiles:
+            # same defensive far-side clip as the native path
+            h = min(h, img.shape[0] - sy, canvas_hw[0] - dy)
+            w = min(w, img.shape[1] - sx, canvas_hw[1] - dx)
+            if h > 0 and w > 0:
+                canvas[dy : dy + h, dx : dx + w] = img[sy : sy + h, sx : sx + w]
+        return canvas
+
     def load_mosaic(self, index):
         """4-tile mosaic: tiles meet at a random center point; each quadrant
         shows the tile corner nearest that point."""
@@ -483,16 +504,17 @@ class YoloDataset:
         indices = [index] + [self.rng.randint(0, self.n - 1) for _ in range(3)]
         self.rng.shuffle(indices)
 
-        canvas = np.full((s * 2, s * 2, 3), 114, dtype=np.uint8)
+        tiles = []
         all_labels, all_segs = [], []
         for q, idx in enumerate(indices):
             img, _, (h, w) = self.load_image(idx)
             x1a, x2a, x1b, x2b = self._span(xc, w, 2 * s, before=q in (0, 2))
             y1a, y2a, y1b, y2b = self._span(yc, h, 2 * s, before=q in (0, 1))
-            canvas[y1a:y2a, x1a:x2a] = img[y1b:y2b, x1b:x2b]
+            tiles.append((img, (y1a, x1a, y1b, x1b, y2a - y1a, x2a - x1a)))
             labels, segs = self._tile_labels(idx, w, h, x1a - x1b, y1a - y1b)
             all_labels.append(labels)
             all_segs.extend(segs)
+        canvas = self._assemble(tiles, (s * 2, s * 2))
 
         labels4 = np.concatenate(all_labels, 0) if all_labels else np.zeros((0, 5), np.float32)
         return self._finish_mosaic(canvas, labels4, all_segs)
@@ -519,7 +541,7 @@ class YoloDataset:
         indices = [index] + [self.rng.choice(self.indices) for _ in range(8)]
         self.rng.shuffle(indices)
 
-        canvas = np.full((s * 3, s * 3, 3), 114, dtype=np.uint8)
+        tiles = []
         all_labels, all_segs = [], []
         w0 = h0 = wp = hp = -1
         for slot, idx in enumerate(indices):
@@ -529,22 +551,30 @@ class YoloDataset:
             ox, oy = self._RING9[slot](s, w, h, w0, h0, wp, hp)
             x1, y1 = max(ox, 0), max(oy, 0)
             x2, y2 = min(ox + w, 3 * s), min(oy + h, 3 * s)
-            canvas[y1:y2, x1:x2] = img[y1 - oy : y2 - oy, x1 - ox : x2 - ox]
+            tiles.append((img, (y1, x1, y1 - oy, x1 - ox, y2 - y1, x2 - x1)))
             labels, segs = self._tile_labels(idx, w, h, ox, oy)
             all_labels.append(labels)
             all_segs.extend(segs)
             wp, hp = w, h
 
-        # random 2s-crop of the 3s canvas
+        # random 2s-crop of the 3s canvas, folded into the tile rects so the
+        # assembly writes the 2s canvas directly (no 3s intermediate)
         yc, xc = (int(self.rng.uniform(0, s)) for _ in self.mosaic_border)
-        canvas = canvas[yc : yc + 2 * s, xc : xc + 2 * s]
+        cropped = []
+        for img, (dy, dx, sy, sx, h, w) in tiles:
+            ny, nx = dy - yc, dx - xc
+            cy, cx = max(-ny, 0), max(-nx, 0)  # crop eats into the tile
+            h, w = h - cy, w - cx
+            if h > 0 and w > 0:
+                cropped.append((img, (ny + cy, nx + cx, sy + cy, sx + cx, h, w)))
+        canvas = self._assemble(cropped, (2 * s, 2 * s))
         labels9 = np.concatenate(all_labels, 0) if all_labels else np.zeros((0, 5), np.float32)
         if labels9.size:
             labels9[:, [1, 3]] -= xc
             labels9[:, [2, 4]] -= yc
         shift = np.array([xc, yc], np.float32)
         all_segs = [seg - shift for seg in all_segs]
-        return self._finish_mosaic(np.ascontiguousarray(canvas), labels9, all_segs)
+        return self._finish_mosaic(canvas, labels9, all_segs)
 
     # ---- batch fast path (native preproc engine, SURVEY.md §2.9 item 4) ----
 

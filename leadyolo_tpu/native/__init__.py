@@ -62,6 +62,16 @@ def get_lib():
             ctypes.c_void_p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
             ctypes.c_void_p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
         ]
+        lib.assemble_tiles.argtypes = [
+            ctypes.POINTER(ctypes.c_void_p),
+            ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_int32),
+            ctypes.c_int,
+            ctypes.c_void_p,
+            ctypes.c_int,
+            ctypes.c_int,
+            ctypes.c_int,
+        ]
         _lib = lib
         return lib
     except OSError:
@@ -100,3 +110,34 @@ def letterbox_batch_native(images, out_size, swap_rb=True, scaleup=False, num_th
         nt,
     )
     return batch, geom
+
+
+def assemble_tiles_native(tiles, canvas_hw, fill=114):
+    """Assemble mosaic tiles into a fresh (H, W, 3) uint8 canvas, GIL-free.
+
+    ``tiles``: list of (img HWC uint8, (dy, dx, sy, sx, h, w)) — copy
+    img[sy:sy+h, sx:sx+w] to canvas[dy:dy+h, dx:dx+w]. Returns the canvas, or
+    None if the native library is unavailable (caller falls back to numpy).
+    The numpy equivalent (np.full + slice assignments) holds the GIL and was
+    the cap on the augmenting loader's thread scaling."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    n = len(tiles)
+    imgs = [np.ascontiguousarray(im, dtype=np.uint8) for im, _ in tiles]
+    ptrs = (ctypes.c_void_p * n)(*[im.ctypes.data_as(ctypes.c_void_p).value for im in imgs])
+    shapes = np.array([im.shape[:2] for im in imgs], np.int32).ravel()
+    rects = np.array([r for _, r in tiles], np.int32).ravel()
+    h, w = int(canvas_hw[0]), int(canvas_hw[1])
+    canvas = np.empty((h, w, 3), np.uint8)
+    lib.assemble_tiles(
+        ptrs,
+        shapes.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        rects.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        n,
+        canvas.ctypes.data_as(ctypes.c_void_p),
+        h,
+        w,
+        int(fill),
+    )
+    return canvas

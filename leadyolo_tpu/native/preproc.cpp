@@ -130,6 +130,33 @@ void letterbox_batch(const uint8_t** srcs, const int32_t* shapes, int n,
   for (auto& th : pool) th.join();
 }
 
+// Mosaic canvas assembly: fill dst (dh, dw, 3) with `fill`, then copy n_tiles
+// rectangles src[sy:sy+h, sx:sx+w] -> dst[dy:dy+h, dx:dx+w]. This is the
+// GIL-held numpy part of the train mosaic path (canvas np.full + four slice
+// assignments were ~40% of the GIL-bound time capping the augmenting loader
+// at ~50 img/s); a ctypes call releases the GIL so loader threads overlap.
+// rects6: n_tiles * (dy, dx, sy, sx, h, w); shapes: n_tiles * (sh, sw).
+void assemble_tiles(const uint8_t** srcs, const int32_t* shapes,
+                    const int32_t* rects6, int n_tiles,
+                    uint8_t* dst, int dh, int dw, int fill) {
+  std::memset(dst, fill, static_cast<size_t>(dh) * dw * 3);
+  for (int t = 0; t < n_tiles; ++t) {
+    const int dy = rects6[t * 6 + 0], dx = rects6[t * 6 + 1];
+    const int sy = rects6[t * 6 + 2], sx = rects6[t * 6 + 3];
+    int h = rects6[t * 6 + 4], w = rects6[t * 6 + 5];
+    const int sh = shapes[t * 2 + 0], sw = shapes[t * 2 + 1];
+    // clip defensively to both buffers
+    h = std::min({h, sh - sy, dh - dy});
+    w = std::min({w, sw - sx, dw - dx});
+    if (h <= 0 || w <= 0 || dy < 0 || dx < 0 || sy < 0 || sx < 0) continue;
+    const size_t row_bytes = static_cast<size_t>(w) * 3;
+    for (int y = 0; y < h; ++y) {
+      std::memcpy(dst + ((static_cast<size_t>(dy + y) * dw) + dx) * 3,
+                  srcs[t] + ((static_cast<size_t>(sy + y) * sw) + sx) * 3, row_bytes);
+    }
+  }
+}
+
 // Plain multithreaded bilinear resize batch (same-size sources), NHWC uint8.
 void resize_batch(const uint8_t* src, int n, int sh, int sw, uint8_t* dst,
                   int dh, int dw, int num_threads) {

@@ -137,3 +137,48 @@ def test_eval_batch_fastpath_throughput(native_lib, tmp_path):
     print(f"batch assembly: native {t_native*1e3:.1f} ms vs per-sample {t_cv2*1e3:.1f} ms")
     # loose bound for contended CI machines; typical is >2x
     assert t_native < t_cv2, (t_native, t_cv2)
+
+
+def test_assemble_tiles_matches_numpy(native_lib, rng):
+    """Mosaic canvas assembly (GIL-free path) must be bit-identical to the
+    numpy slice-assign it replaces, including far-side clipping."""
+    from leadyolo_tpu.native import assemble_tiles_native
+
+    tiles = []
+    for _ in range(9):
+        h, w = int(rng.integers(40, 200)), int(rng.integers(40, 200))
+        img = rng.uniform(0, 255, (h, w, 3)).astype(np.uint8)
+        dy, dx = int(rng.integers(0, 300)), int(rng.integers(0, 300))
+        sy, sx = int(rng.integers(0, h // 2)), int(rng.integers(0, w // 2))
+        # deliberately oversized extents to exercise clipping
+        tiles.append((img, (dy, dx, sy, sx, h, w)))
+    canvas = assemble_tiles_native(tiles, (320, 320))
+    assert canvas is not None and canvas.shape == (320, 320, 3)
+
+    ref = np.full((320, 320, 3), 114, np.uint8)
+    for img, (dy, dx, sy, sx, h, w) in tiles:
+        h = min(h, img.shape[0] - sy, 320 - dy)
+        w = min(w, img.shape[1] - sx, 320 - dx)
+        if h > 0 and w > 0:
+            ref[dy : dy + h, dx : dx + w] = img[sy : sy + h, sx : sx + w]
+    np.testing.assert_array_equal(canvas, ref)
+
+
+def test_mosaic_native_equals_fallback(native_lib, tmp_path, rng):
+    """load_mosaic / load_mosaic9 must produce identical canvases through the
+    native assembler and the numpy fallback (same rng draw order)."""
+    from unittest import mock
+
+    from leadyolo_tpu.data.datasets import YoloDataset
+    from leadyolo_tpu.train.trainer import resolve_data
+
+    cfg = resolve_data("ssdd")
+    hyp = {"mosaic": 1.0, "degrees": 0, "translate": 0.1, "scale": 0.5}
+    for builder in ("load_mosaic", "load_mosaic9"):
+        ds = YoloDataset(cfg["train"], img_size=320, augment=True, hyp=hyp, seed=7)
+        a, la, _ = getattr(ds, builder)(0)
+        ds2 = YoloDataset(cfg["train"], img_size=320, augment=True, hyp=hyp, seed=7)
+        with mock.patch("leadyolo_tpu.native.assemble_tiles_native", lambda *a, **k: None):
+            b, lb, _ = getattr(ds2, builder)(0)
+        np.testing.assert_array_equal(a, b, err_msg=builder)
+        np.testing.assert_allclose(la, lb, err_msg=builder)
