@@ -45,45 +45,60 @@ def validate(
     plots_dir: Optional[str] = None,
     augment: bool = False,
     rect: bool = True,
+    reuse: Optional[dict] = None,
 ):
     """Evaluate mAP on a directory/txt of YOLO-format images.
 
     Returns dict(mp, mr, map50, map, per_class, speed_ms, fps, nt).
+
+    ``reuse``: a caller-owned dict caching the dataset, loader, and jitted
+    infer fn across calls. The in-training validator calls this every epoch —
+    without reuse each call re-scans labels and builds a FRESH jax.jit object
+    (full retrace + executable rebuild), which dominates epoch time on
+    remote-compile backends.
     """
     nc = model.nc
     iouv = np.linspace(0.5, 0.95, 10)
 
-    ds = YoloDataset(
-        data_path,
-        img_size=img_size,
-        augment=False,
-        max_targets=max_targets,
-        rect=rect,
-        batch_size=batch_size,
-        pad=0.5 if rect else 0.0,  # reference val.py:182-190
-        return_shapes=True,
-    )
-    dl = DataLoader(ds, batch_size=batch_size, shuffle=False, drop_last=False, workers=workers)
-
-    @jax.jit
-    def infer(variables, images):
-        x = images.astype(compute_dtype) / 255.0
-        if augment:  # TTA: scale+flip ensemble (reference val.py --augment)
-            preds = model.apply_augmented(variables, x)
-        else:
-            preds = model.apply(variables, x, train=False, decode=True)
-        if isinstance(preds, tuple):
-            preds = preds[0]
-        det, valid, _ = non_max_suppression(
-            preds.astype(jnp.float32),
-            conf_thres=conf_thres,
-            iou_thres=iou_thres,
-            multi_label=nc > 1,
-            max_det=max_det,
-            max_nms=max_nms,
-            nc=nc,
+    key = (str(data_path), img_size, batch_size, rect, augment, str(compute_dtype),
+           max_targets, conf_thres, iou_thres, max_det, max_nms, workers)
+    if reuse is not None and reuse.get("key") == key:
+        ds, dl, infer = reuse["ds"], reuse["dl"], reuse["infer"]
+    else:
+        ds = YoloDataset(
+            data_path,
+            img_size=img_size,
+            augment=False,
+            max_targets=max_targets,
+            rect=rect,
+            batch_size=batch_size,
+            pad=0.5 if rect else 0.0,  # reference val.py:182-190
+            return_shapes=True,
         )
-        return det, valid
+        dl = DataLoader(ds, batch_size=batch_size, shuffle=False, drop_last=False, workers=workers)
+
+        @jax.jit
+        def infer(variables, images):
+            x = images.astype(compute_dtype) / 255.0
+            if augment:  # TTA: scale+flip ensemble (reference val.py --augment)
+                preds = model.apply_augmented(variables, x)
+            else:
+                preds = model.apply(variables, x, train=False, decode=True)
+            if isinstance(preds, tuple):
+                preds = preds[0]
+            det, valid, _ = non_max_suppression(
+                preds.astype(jnp.float32),
+                conf_thres=conf_thres,
+                iou_thres=iou_thres,
+                multi_label=nc > 1,
+                max_det=max_det,
+                max_nms=max_nms,
+                nc=nc,
+            )
+            return det, valid
+
+        if reuse is not None:
+            reuse.update(key=key, ds=ds, dl=dl, infer=infer)
 
     stats = []
     confusion = ConfusionMatrix(nc)

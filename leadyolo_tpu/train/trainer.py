@@ -45,6 +45,8 @@ def load_hyp(hyp) -> dict:
 
 
 def resolve_data(data):
+    if isinstance(data, dict):  # already-resolved config (tests, evolve loops)
+        return data
     p = Path(data)
     if not p.exists():
         for cand in (DATA_DIR / f"{data}.yaml", DATA_DIR / f"{str(data).lower()}.yaml"):
@@ -200,6 +202,10 @@ def train(
             )
 
     results = {"mp": 0, "mr": 0, "map50": 0, "map": 0}
+    # reused across epochs: without this every in-training validation re-scans
+    # the val set and builds a fresh jax.jit (retrace + executable rebuild) —
+    # tens of seconds per epoch on remote-compile backends
+    val_reuse = {}
     log_fn(f"training {cfg} on {data_cfg.get('train')}: {len(ds)} imgs, {nb} steps/epoch, {epochs} epochs")
 
     last_per_class = None
@@ -239,8 +245,9 @@ def train(
         fi = 0.0
         stop = False
         if is_main_process():
-            ema_vars = jax.tree.map(np.asarray, state.ema.variables)
             if not noval and (epoch % val_every == 0 or epoch == epochs - 1):
+                # host fetch detaches from the donated step buffers
+                ema_vars = jax.tree.map(np.asarray, state.ema.variables)
                 results = validate(
                     model,
                     ema_vars,
@@ -250,6 +257,7 @@ def train(
                     compute_dtype=compute_dtype,
                     max_targets=max_targets,
                     workers=workers,
+                    reuse=val_reuse,
                 )
                 fi = 0.1 * results["map50"] + 0.9 * results["map"]
                 if results.get("per_class") is not None:
@@ -316,7 +324,7 @@ def train(
             validate(
                 model, ema_vars, data_cfg["val"], img_size=img_size, batch_size=batch_size,
                 compute_dtype=compute_dtype, max_targets=max_targets, workers=workers,
-                plots_dir=save_dir, names=data_cfg.get("names"),
+                plots_dir=save_dir, names=data_cfg.get("names"), reuse=val_reuse,
             )
         except Exception as e:  # plotting must never fail the run
             log_fn(f"plotting failed: {e}")

@@ -1,0 +1,53 @@
+"""End-to-end trainer loop on a tiny synthetic dataset (CPU, multi-epoch).
+
+Covers what the per-function tests can't: the epoch loop wiring — per-epoch
+validation through the reused validator context (validator.py `reuse`),
+checkpointing, results.csv, early-stop bookkeeping.
+"""
+import numpy as np
+import pytest
+
+cv2 = pytest.importorskip("cv2")
+
+import jax.numpy as jnp
+
+from leadyolo_tpu.train.trainer import train
+
+
+@pytest.fixture
+def tiny_dataset(tmp_path):
+    rng = np.random.default_rng(0)
+    img_dir = tmp_path / "images" / "train"
+    lbl_dir = tmp_path / "labels" / "train"
+    img_dir.mkdir(parents=True)
+    lbl_dir.mkdir(parents=True)
+    for i in range(8):
+        im = (rng.uniform(0, 255, (64, 64, 3))).astype(np.uint8)
+        cx, cy = rng.uniform(0.3, 0.7, 2)
+        im = cv2.rectangle(im, (int((cx - 0.1) * 64), int((cy - 0.1) * 64)),
+                           (int((cx + 0.1) * 64), int((cy + 0.1) * 64)), (255, 255, 255), -1)
+        cv2.imwrite(str(img_dir / f"{i}.jpg"), im)
+        (lbl_dir / f"{i}.txt").write_text(f"0 {cx:.4f} {cy:.4f} 0.2 0.2\n")
+    return {"train": str(img_dir), "val": str(img_dir), "nc": 1, "names": {0: "x"}}
+
+
+@pytest.mark.slow
+def test_train_loop_epochs_with_val_reuse(tiny_dataset, tmp_path):
+    best, results, save_dir = train(
+        cfg="yolov5n",
+        data=tiny_dataset,
+        epochs=3,
+        batch_size=4,
+        img_size=64,
+        workers=2,
+        save_dir=tmp_path / "run",
+        compute_dtype=jnp.float32,
+        noautoanchor=True,
+        accumulate=1,
+        loggers=("csv",),
+        log_fn=lambda *a: None,
+    )
+    csv_rows = (tmp_path / "run" / "results.csv").read_text().strip().splitlines()
+    assert len(csv_rows) == 4  # header + 3 epochs, each with a validated mAP
+    assert (tmp_path / "run" / "last.ckpt").exists()
+    assert np.isfinite(results["map50"])
