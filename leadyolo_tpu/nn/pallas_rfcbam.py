@@ -3,12 +3,19 @@
 The XLA formulation of RFCBAMConv (nn/rfa.py, reference models/rfa.py:95-129)
 materializes the k^2-expanded per-tap feature map in HBM three times per layer
 (grouped-conv write, attention read, gated-contraction read) — ~2 GB of HBM
-traffic for the 80x80 P3 head layer at batch 128, which made it the single
-hottest layer of the network (5.3 ms of a 20.3 ms forward; see README
-roofline). This kernel keeps the expansion in VMEM: per grid step it reads a
-row-block of one image, generates the 9 tap planes, applies the SE channel
-gate and the CBAM spatial gate, and contracts straight onto the MXU — HBM
-sees only x once in and the output once out (~4.5x traffic cut).
+traffic for the 80x80 P3 head layer at batch 128, the hottest layer of the
+network (README "Performance" roofline: 7.67 ms of a ~22 ms e2e batch). This
+kernel keeps the expansion in VMEM: per grid step it reads a row-block of one
+image, generates the 9 tap planes, applies the SE channel gate and the CBAM
+spatial gate, and contracts straight onto the MXU — HBM sees only x once in
+and the output once out (~4.5x traffic cut).
+
+STATUS (round-3 A/B on the real chip, runs/fused_ab/AB_r03.json): numerically
+interchangeable with the XLA path (p99 |diff| 1.2e-4 at batch 128, production
+shapes) but 0.89x its speed — the flattened-matmul tap contraction
+(nn/rfa.py:52-60) made the XLA path faster than this kernel's VPU-bound tap
+generation. Kept as an opt-in (--fused / LEADYOLO_FUSED=1); bench.py
+re-enables it only if a future tools/fused_ab.py run records ok AND faster.
 
 The grid is (batch, row_blocks). Each step works on `hb` output rows plus a
 one-row feature halo on each side, because the CBAM spatial 3x3 crosses
