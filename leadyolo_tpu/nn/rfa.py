@@ -102,28 +102,6 @@ class RFCBAMConv(nn.Module):
         k = self.k
         ch_attn = SE(16, name="se")(x, train)  # (B,1,1,C)
 
-        # Fused Pallas inference path for the strided head convs (k=3, s=2):
-        # keeps the k^2 expansion in VMEM — see nn/pallas_rfcbam.py. Training
-        # and init keep the autodiff-friendly XLA form below; both share the
-        # exact same parameter tree.
-        if (
-            not train
-            and not self.is_initializing()
-            and k == 3
-            and self.s == 2
-            and fused_kernels_enabled()
-        ):
-            import jax as _jax
-
-            from .pallas_rfcbam import rfcbam_fused_infer, supports
-
-            if supports(x.shape, self.c2):
-                v = self.variables
-                return rfcbam_fused_infer(
-                    x, ch_attn, v["params"], v["batch_stats"], self.c2,
-                    interpret=_jax.default_backend() != "tpu",
-                )
-
         feat = _generate_features(x, k, self.s, c, "generate", self, train)
         b, h, w, _, _ = feat.shape
 
@@ -139,6 +117,27 @@ class RFCBAMConv(nn.Module):
         rf_attn = (
             rf_attn.reshape(b, h, k, w, k).transpose(0, 1, 3, 2, 4).reshape(b, h, w, 1, k * k)
         )
+
+        # Fused Pallas inference tail: gate + tap contraction + folded BN/ReLU
+        # in one VMEM pass (nn/pallas_gated_contract.py) — XLA materializes
+        # the gated tensor because it will not fuse elementwise producers into
+        # a dot operand. Training and init keep the autodiff-friendly XLA form
+        # below; both share the exact same parameter tree.
+        if not train and not self.is_initializing() and fused_kernels_enabled():
+            import jax as _jax
+
+            from .pallas_gated_contract import gated_tap_contract, supports
+
+            if supports(feat.shape, self.c2):
+                v = self.variables
+                p, bs = v["params"], v["batch_stats"]
+                return gated_tap_contract(
+                    feat, rf_attn, ch_attn,
+                    p["conv_kernel"], p["conv_bias"],
+                    p["conv_bn"]["scale"], p["conv_bn"]["bias"],
+                    bs["conv_bn"]["mean"], bs["conv_bn"]["var"],
+                    interpret=_jax.default_backend() != "tpu",
+                )
 
         gated = feat * ch_attn[..., None] * rf_attn
         out = _tap_contract(gated, k, self.c2, "conv", self, use_bias=True)

@@ -1,9 +1,10 @@
-"""On-TPU A/B verification of the fused Pallas RFCBAMConv kernel.
+"""On-TPU A/B verification of the fused Pallas gated tap-contraction.
 
-Runs the two LEAD-YOLO strided head layers (reference models/rfa.py:95-129;
-layer 17: (B,80,80,128)->128 and layer 20: (B,40,40,128)->256 at 640px) through
-BOTH the XLA formulation (nn/rfa.py) and the fused Pallas kernel
-(nn/pallas_rfcbam.py) on the real chip, comparing numerics and timing.
+Runs all four LEAD-YOLO RFCBAM head layers (reference models/rfa.py:95-129;
+shapes from utils/profiling.profile_layers at 640px) through BOTH the XLA
+formulation (nn/rfa.py) and the fused Pallas path
+(nn/pallas_gated_contract.py) on the real chip, comparing numerics and
+timing.
 
 Writes runs/fused_ab/AB_<tag>.json. bench.py only enables the fused path when
 the newest such artifact has "ok": true — this script IS the blessing gate.
@@ -24,10 +25,14 @@ import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-# the two strided RFCBAMConv head layers of lead-yolo.yaml at 640px
+# the four RFCBAMConv head layers of lead-yolo.yaml at 640px
+# (inputs per utils/profiling.profile_layers: 9 <- SPPF, 13 <- C3_CA-12,
+#  17 <- C3_CA-16, 20 <- C3_CA-19)
 LAYERS = {
-    "17": dict(h=80, w=80, c=128, c2=128),
-    "20": dict(h=40, w=40, c=128, c2=256),
+    "9": dict(h=20, w=20, c=160, c2=256, k=1, s=1),
+    "13": dict(h=40, w=40, c=256, c2=128, k=1, s=1),
+    "17": dict(h=80, w=80, c=128, c2=128, k=3, s=2),
+    "20": dict(h=40, w=40, c=256, c2=256, k=3, s=2),
 }
 
 
@@ -57,16 +62,15 @@ def bench_fn(fn, *args, iters=20):
 
 
 def run_layer(name, spec, batch, iters):
-    from leadyolo_tpu.nn.attention import SE
-    from leadyolo_tpu.nn.pallas_rfcbam import pick_row_block, rfcbam_fused_infer
+    from leadyolo_tpu.nn.pallas_gated_contract import pick_row_block
     from leadyolo_tpu.nn.rfa import RFCBAMConv
     from leadyolo_tpu.utils import set_fused_kernels
 
-    h, w, c, c2 = spec["h"], spec["w"], spec["c"], spec["c2"]
-    hb = pick_row_block(h // 2, w // 2, c, c2)
-    log(f"[layer {name}] ({batch},{h},{w},{c})->{c2}  row_block={hb}")
+    h, w, c, c2, k, s = (spec[x] for x in ("h", "w", "c", "c2", "k", "s"))
+    bm = pick_row_block((h // s) * (w // s), c * k * k, c2)
+    log(f"[layer {name}] ({batch},{h},{w},{c})->{c2} k={k} s={s}  block_rows={bm}")
 
-    m = RFCBAMConv(c2=c2, k=3, s=2)
+    m = RFCBAMConv(c2=c2, k=k, s=s)
     x = jax.random.normal(jax.random.PRNGKey(1), (batch, h, w, c), jnp.bfloat16)
     v = m.init(jax.random.PRNGKey(0), jnp.zeros((1, h, w, c), jnp.float32))
     # non-trivial BN stats so the fp32 folding is exercised
@@ -85,21 +89,23 @@ def run_layer(name, spec, batch, iters):
     finally:
         set_fused_kernels(None)
 
-    se_gate = jax.jit(lambda vv, xx: SE(16).apply({"params": vv["params"]["se"]}, xx, False))(v, x)
-
-    def fused_fn(vv, xx, gg):
-        return rfcbam_fused_infer(xx, gg, vv["params"], vv["batch_stats"], c2, interpret=False)
-
-    log(f"[layer {name}] compiling fused Pallas kernel ...")
-    t_fused = bench_fn(fused_fn, v, x, se_gate, iters=iters)
-    out = np.asarray(fused_fn(v, x, se_gate), np.float32)
+    set_fused_kernels(True)
+    try:
+        fused_fn = jax.jit(lambda vv, xx: m.apply(vv, xx, train=False))
+        log(f"[layer {name}] compiling fused Pallas path ...")
+        t_fused = bench_fn(fused_fn, v, x, iters=iters)
+        out = np.asarray(fused_fn(v, x), np.float32)
+    finally:
+        set_fused_kernels(None)
 
     diff = np.abs(out - ref)
     rec = {
         "layer": name,
         "shape": [batch, h, w, c],
         "c2": c2,
-        "row_block": hb,
+        "k": k,
+        "s": s,
+        "block_rows": bm,
         "xla_ms": round(t_xla * 1e3, 3),
         "fused_ms": round(t_fused * 1e3, 3),
         "speedup": round(t_xla / t_fused, 3),
@@ -116,7 +122,7 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch", type=int, default=128)
     ap.add_argument("--iters", type=int, default=20)
-    ap.add_argument("--layers", default="17,20")
+    ap.add_argument("--layers", default="9,13,17,20")
     ap.add_argument("--tag", default="r03")
     ap.add_argument("--no-write", action="store_true")
     args = ap.parse_args()
