@@ -47,8 +47,65 @@ def _fused_blessed() -> bool:
     return False
 
 
-def run_bench(fused: bool) -> float:
-    """Build the model and measure e2e images/sec. Returns imgs/sec."""
+_REPO = os.path.dirname(os.path.abspath(__file__))
+_WEIGHTS = os.path.join(_REPO, "weights", "lead-yolo-ssdd.ckpt")
+_SSDD_VAL = "/root/reference/data/SSDD/images/test"
+
+
+def _load_model():
+    """Trained LEAD-YOLO weights when present (the reference's FPS metric is
+    measured with trained weights on val data, val.py:301-306), else random
+    init so the gate still produces a number on a fresh clone."""
+    from leadyolo_tpu.models.yolo import DetectionModel
+
+    if os.path.exists(_WEIGHTS):
+        try:
+            from leadyolo_tpu.cli.val import load_weights
+
+            model, variables = load_weights(_WEIGHTS, "lead-yolo")
+            return model, variables, "trained"
+        except Exception as e:
+            sys.stderr.write(f"trained-weight load failed ({e!r}); random init\n")
+    model = DetectionModel("lead-yolo")
+    import jax
+
+    return model, model.init(jax.random.PRNGKey(0)), "random"
+
+
+def _load_batches(n_batches: int):
+    """Letterboxed SSDD val images as uint8 NHWC batches (tiled to fill), or
+    synthetic uint8 noise if the dataset isn't mounted. uint8 on device is the
+    production contract — the native preproc engine emits uint8 and the /255
+    normalize runs on-chip."""
+    import glob
+
+    import numpy as np
+
+    paths = sorted(glob.glob(os.path.join(_SSDD_VAL, "*.jpg")))[: BATCH * n_batches]
+    if not paths:
+        rng = np.random.default_rng(0)
+        return [
+            rng.integers(0, 256, (BATCH, 640, 640, 3), dtype=np.uint8)
+            for _ in range(n_batches)
+        ], "random"
+    import cv2
+
+    from leadyolo_tpu.data.augment import letterbox
+
+    imgs = []
+    for p in paths:
+        im = cv2.imread(p)
+        im = letterbox(im, (640, 640), auto=False)[0][:, :, ::-1]  # BGR->RGB
+        imgs.append(im)
+    flat = [imgs[i % len(imgs)] for i in range(BATCH * n_batches)]
+    return [
+        np.stack(flat[i * BATCH : (i + 1) * BATCH]).astype(np.uint8)
+        for i in range(n_batches)
+    ], "ssdd"
+
+
+def run_bench(fused: bool) -> tuple[float, str]:
+    """Build the model and measure e2e images/sec. Returns (imgs/sec, tag)."""
     import jax
     import jax.numpy as jnp
 
@@ -56,24 +113,21 @@ def run_bench(fused: bool) -> float:
 
     enable_compilation_cache()
     set_fused_kernels(fused)
-    from leadyolo_tpu.models.yolo import DetectionModel
     from leadyolo_tpu.ops.nms import non_max_suppression
 
-    model = DetectionModel("lead-yolo")
-    variables = model.init(jax.random.PRNGKey(0))
+    model, variables, wtag = _load_model()
 
     @jax.jit
     def infer(variables, images):
-        preds = model.apply(variables, images.astype(jnp.bfloat16), train=False, decode=True)
+        x = images.astype(jnp.bfloat16) / 255.0
+        preds = model.apply(variables, x, train=False, decode=True)
         det, valid, _ = non_max_suppression(
             preds.astype(jnp.float32), conf_thres=0.25, iou_thres=0.45, max_det=300, max_nms=1024
         )
         return det, valid
 
-    images = [
-        jax.random.uniform(jax.random.PRNGKey(i), (BATCH, 640, 640, 3), jnp.float32)
-        for i in range(4)
-    ]
+    host_batches, dtag = _load_batches(4)
+    images = [jax.device_put(b) for b in host_batches]
 
     # compile + warmup (float() forces a real device round-trip — the axon
     # tunnel's block_until_ready alone does not guarantee completion)
@@ -83,7 +137,7 @@ def run_bench(fused: bool) -> float:
     outs = [infer(variables, images[i % 4]) for i in range(ITERS)]
     float(jnp.sum(outs[-1][0]))  # drain the pipeline
     dt = time.perf_counter() - t0
-    return BATCH * ITERS / dt
+    return BATCH * ITERS / dt, f"{wtag}-weights/{dtag}-data"
 
 
 def _emit(imgs_per_sec: float, path: str):
@@ -103,7 +157,8 @@ def _emit(imgs_per_sec: float, path: str):
 def main():
     if "--fused-worker" in sys.argv:
         # child process: run the fused bench; a kernel fault only kills us
-        print(json.dumps({"fused_imgs_per_sec": run_bench(fused=True)}))
+        val, tag = run_bench(fused=True)
+        print(json.dumps({"fused_imgs_per_sec": val, "tag": tag}))
         return
 
     if _fused_blessed():
@@ -121,7 +176,7 @@ def main():
                     except Exception:
                         continue
                     if val:
-                        _emit(val, "pallas-fused")
+                        _emit(val, "pallas-fused " + json.loads(line).get("tag", ""))
                         return
             sys.stderr.write(
                 f"fused bench subprocess failed (rc={out.returncode}); "
@@ -132,7 +187,8 @@ def main():
         except Exception as e:  # never let the probe take down the gate
             sys.stderr.write(f"fused bench probe error ({e!r}); falling back to XLA path\n")
 
-    _emit(run_bench(fused=False), "xla")
+    val, tag = run_bench(fused=False)
+    _emit(val, "xla " + tag)
 
 
 if __name__ == "__main__":
