@@ -360,6 +360,8 @@ class YOLONet(nn.Module):
             from ..nn import functional as F
 
             F.DEFAULT_ACT = self.default_act  # trace-time constant; see functional.py
+        from ..nn.functional import LazyConcat
+
         ys = []  # full per-layer output list (None if not in save-list), so
         out = x  # negative from-indices (e.g. -2) resolve like the reference
         for i, (m, f) in enumerate(zip(self.layers, self.froms)):
@@ -368,6 +370,21 @@ class YOLONet(nn.Module):
                     out = ys[f]
                 else:
                     out = [out if j == -1 else ys[j] for j in f]
+            # a deferred concat (nn/functional.LazyConcat) stays lazy only for
+            # consumers that split their conv kernels along cin; everyone else
+            # (and the save-list, whose consumers index dense arrays) gets the
+            # materialized tensor
+            if isinstance(out, LazyConcat) and not getattr(m, "accepts_lazy_concat", False):
+                out = out.materialize()
+            elif isinstance(out, list):
+                out = [o.materialize() if isinstance(o, LazyConcat) else o for o in out]
             out = m(out, train=train)
-            ys.append(out if (i in self.save or i == len(self.layers) - 1) else None)
+            if i in self.save or i == len(self.layers) - 1:
+                if isinstance(out, LazyConcat):
+                    out = out.materialize()
+                ys.append(out)
+            else:
+                ys.append(None)
+        if isinstance(out, LazyConcat):
+            out = out.materialize()
         return out

@@ -11,7 +11,7 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from .functional import get_activation, hsigmoid, hswish
+from .functional import get_activation, hsigmoid, hswish, lazy_cat
 from .layers import BatchNorm, Conv, Conv2d, Linear
 
 
@@ -97,6 +97,8 @@ class CABottleneck(nn.Module):
 class C3_CA(nn.Module):
     """C3 CSP block with CA bottlenecks (reference models/common.py:1626-1637)."""
 
+    accepts_lazy_concat = True  # x only feeds cv1/cv2 (both Conv)
+
     c2: int
     n: int = 1
     shortcut: bool = True
@@ -110,4 +112,4 @@ class C3_CA(nn.Module):
         for i in range(self.n):
             y1 = CABottleneck(c_, self.shortcut, self.g, e=1.0, name=f"m_{i}")(y1, train)
         y2 = Conv(c_, 1, 1, name="cv2")(x, train)
-        return Conv(self.c2, 1, name="cv3")(jnp.concatenate([y1, y2], axis=-1), train)
+        return Conv(self.c2, 1, name="cv3")(lazy_cat([y1, y2]), train)

@@ -27,6 +27,60 @@ def _pair(v):
     return (v, v) if isinstance(v, int) else tuple(v)
 
 
+class LazyConcat:
+    """Deferred channel (axis -1) concat of NHWC feature maps.
+
+    On an HBM-bound network, `jnp.concatenate` costs a full write + read of
+    the combined tensor, and XLA will not fuse the concat into a consuming
+    conv/dot operand. But a conv over a channel concat splits exactly:
+
+        conv(cat(a, b), W) == conv(a, W[..., :ca, :]) + conv(b, W[..., ca:, :])
+
+    so consumers that are convs (Conv2d) take the parts and slice their
+    kernel instead — the concatenated tensor never exists. Consumers that
+    can't split call ``materialize()`` (the graph executor does this
+    automatically for modules without ``accepts_lazy_concat``).
+
+    This is a trace-time wrapper only — it never crosses jit boundaries and
+    is not a pytree."""
+
+    __slots__ = ("parts",)
+
+    def __init__(self, parts):
+        flat = []
+        for p in parts:
+            if isinstance(p, LazyConcat):
+                flat.extend(p.parts)
+            else:
+                flat.append(p)
+        self.parts = tuple(flat)
+
+    @property
+    def shape(self):
+        s = self.parts[0].shape
+        return (*s[:-1], sum(p.shape[-1] for p in self.parts))
+
+    @property
+    def dtype(self):
+        return self.parts[0].dtype
+
+    @property
+    def ndim(self):
+        return self.parts[0].ndim
+
+    def materialize(self):
+        return self.parts[0] if len(self.parts) == 1 else jnp.concatenate(self.parts, axis=-1)
+
+
+def lazy_cat(xs):
+    """Channel concat that consuming convs can split (see LazyConcat)."""
+    return LazyConcat(xs)
+
+
+def materialize(x):
+    return x.materialize() if isinstance(x, LazyConcat) else x
+
+
 def conv2d(x, w, stride=1, padding=0, groups=1, dilation=1):
     """NHWC conv with HWIO weights; padding is an int/(ph, pw) applied both sides."""
     s = _pair(stride)

@@ -21,12 +21,14 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from .functional import (
+    LazyConcat,
     autopad,
     conv2d,
     conv_transpose2d,
     depth_to_space,
     focus_slice,
     get_activation,
+    lazy_cat,
     max_pool2d,
     space_to_depth,
     torch_conv_bias_init,
@@ -55,10 +57,22 @@ class Conv2d(nn.Module):
     @nn.compact
     def __call__(self, x):
         kh, kw = _pair(self.k)
+        if isinstance(x, LazyConcat) and self.g != 1:
+            x = x.materialize()  # grouped kernels don't split along cin parts
         cin = x.shape[-1]
         w = self.param("kernel", torch_conv_kernel_init, (kh, kw, cin // self.g, self.features))
         pad = self.p if self.p is not None else autopad(self.k, None, self.d)
-        y = conv2d(x, w, self.s, pad, self.g, self.d)
+        if isinstance(x, LazyConcat):
+            # conv(cat(parts)) == sum of convs with the kernel sliced along
+            # cin — the concatenated tensor never hits HBM (see LazyConcat)
+            y, off = None, 0
+            for part in x.parts:
+                cp = part.shape[-1]
+                yi = conv2d(part, jax.lax.slice_in_dim(w, off, off + cp, axis=2), self.s, pad, 1, self.d)
+                y = yi if y is None else y + yi
+                off += cp
+        else:
+            y = conv2d(x, w, self.s, pad, self.g, self.d)
         if self.use_bias:
             fan_in = kh * kw * (cin // self.g)
             b = self.param("bias", torch_conv_bias_init(fan_in), (self.features,))
@@ -140,6 +154,8 @@ class Conv(nn.Module):
     d: int = 1
     act: Any = True
     fused: bool = False
+
+    accepts_lazy_concat = True  # Conv2d splits its kernel along cin
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -246,6 +262,8 @@ class CrossConv(nn.Module):
 class C3(nn.Module):
     """CSP bottleneck with 3 convs (reference models/common.py:254-269)."""
 
+    accepts_lazy_concat = True  # x only feeds cv1/cv2 (both Conv)
+
     c2: int
     n: int = 1
     shortcut: bool = True
@@ -262,7 +280,7 @@ class C3(nn.Module):
         for i in range(self.n):
             y1 = self.inner(c_, i)(y1, train)
         y2 = Conv(c_, 1, 1, name="cv2")(x, train)
-        return Conv(self.c2, 1, name="cv3")(jnp.concatenate([y1, y2], axis=-1), train)
+        return Conv(self.c2, 1, name="cv3")(lazy_cat([y1, y2]), train)
 
 
 class C3x(C3):
@@ -283,7 +301,7 @@ class SPP(nn.Module):
         c_ = x.shape[-1] // 2
         y = Conv(c_, 1, 1, name="cv1")(x, train)
         pooled = [y] + [max_pool2d(y, k, 1, k // 2) for k in self.k]
-        return Conv(self.c2, 1, 1, name="cv2")(jnp.concatenate(pooled, axis=-1), train)
+        return Conv(self.c2, 1, 1, name="cv2")(lazy_cat(pooled), train)
 
 
 class SPPF(nn.Module):
@@ -299,7 +317,7 @@ class SPPF(nn.Module):
         y1 = max_pool2d(y, self.k, 1, self.k // 2)
         y2 = max_pool2d(y1, self.k, 1, self.k // 2)
         y3 = max_pool2d(y2, self.k, 1, self.k // 2)
-        return Conv(self.c2, 1, 1, name="cv2")(jnp.concatenate([y, y1, y2, y3], axis=-1), train)
+        return Conv(self.c2, 1, 1, name="cv2")(lazy_cat([y, y1, y2, y3]), train)
 
 
 class Focus(nn.Module):
@@ -364,6 +382,7 @@ class C3Ghost(C3):
 
 
 class C3SPP(nn.Module):
+    accepts_lazy_concat = True  # x only feeds cv1/cv2 (both Conv)
     """C3 with an SPP inner block (reference models/common.py:297)."""
 
     c2: int
@@ -379,7 +398,7 @@ class C3SPP(nn.Module):
         y1 = Conv(c_, 1, 1, name="cv1")(x, train)
         y1 = SPP(c_, self.k, name="m")(y1, train)
         y2 = Conv(c_, 1, 1, name="cv2")(x, train)
-        return Conv(self.c2, 1, name="cv3")(jnp.concatenate([y1, y2], axis=-1), train)
+        return Conv(self.c2, 1, name="cv3")(lazy_cat([y1, y2]), train)
 
 
 class TransformerLayer(nn.Module):
@@ -434,6 +453,7 @@ class TransformerBlock(nn.Module):
 
 
 class C3TR(nn.Module):
+    accepts_lazy_concat = True  # x only feeds cv1/cv2 (both Conv)
     """C3 with a TransformerBlock inner (reference models/common.py:285)."""
 
     c2: int
@@ -448,7 +468,7 @@ class C3TR(nn.Module):
         y1 = Conv(c_, 1, 1, name="cv1")(x, train)
         y1 = TransformerBlock(c_, 4, self.n, name="m")(y1, train)
         y2 = Conv(c_, 1, 1, name="cv2")(x, train)
-        return Conv(self.c2, 1, name="cv3")(jnp.concatenate([y1, y2], axis=-1), train)
+        return Conv(self.c2, 1, name="cv3")(lazy_cat([y1, y2]), train)
 
 
 class Contract(nn.Module):
@@ -477,6 +497,10 @@ class Concat(nn.Module):
 
     def __call__(self, xs, train: bool = False):
         axis = -1 if self.d == 1 else self.d
+        if axis == -1:
+            # deferred: split-capable consumers (Conv/C3*) never materialize
+            # it; the graph executor materializes for everyone else
+            return lazy_cat(xs)
         return jnp.concatenate(xs, axis=axis)
 
 

@@ -89,15 +89,25 @@ def profile_layers(model, variables, img_size: int = 640, log_fn=print):
     captured = []
 
     def walk(v, x):
+        from ..nn.functional import LazyConcat
+
         ys = []
         out = x
         for i, (m, f) in enumerate(zip(net.layers, net.froms)):
             if f != -1:
                 out = ys[f] if isinstance(f, int) else [out if j == -1 else ys[j] for j in f]
+            if isinstance(out, LazyConcat) and not getattr(m, "accepts_lazy_concat", False):
+                out = out.materialize()
             out = m.apply({"params": v["params"].get(f"layers_{i}", {}),
                            "batch_stats": v.get("batch_stats", {}).get(f"layers_{i}", {})}, out, train=False)
-            captured.append(jax.tree.map(lambda t: getattr(t, "shape", None), out))
-            ys.append(out if (i in net.save or i == len(net.layers) - 1) else None)
+            captured.append(
+                out.shape if isinstance(out, LazyConcat)
+                else jax.tree.map(lambda t: getattr(t, "shape", None), out)
+            )
+            if i in net.save or i == len(net.layers) - 1:
+                ys.append(out.materialize() if isinstance(out, LazyConcat) else out)
+            else:
+                ys.append(None)
         return out
 
     jax.eval_shape(walk, variables, x)
