@@ -56,11 +56,18 @@ def run(
     rect=True,
     save_json=None,
     fused=False,
+    multichip=False,
 ):
     if fused:
         from ..utils import set_fused_kernels
 
         set_fused_kernels(True)
+    mesh = None
+    if multichip:
+        # data-parallel eval over all local devices (see validator.py `mesh`)
+        from ..parallel.mesh import make_mesh
+
+        mesh = make_mesh()
     if task == "speed":
         # benchmark-mode thresholds, no JSON (reference val.py:384-390)
         conf_thres, iou_thres, save_json = 0.25, 0.45, None
@@ -73,7 +80,8 @@ def run(
         for sz in range(256, 1024 + 64, 128):
             r = validate(model, variables, split, img_size=sz, batch_size=batch_size,
                          conf_thres=conf_thres, iou_thres=iou_thres, max_det=max_det,
-                         compute_dtype=jnp.bfloat16 if half else jnp.float32, workers=workers)
+                         compute_dtype=jnp.bfloat16 if half else jnp.float32, workers=workers,
+                         mesh=mesh)
             rows.append((sz, r["map50"], r["map"], r["speed_ms"]))
             print(f"study {sz}px: mAP50 {r['map50']:.4f} mAP {r['map']:.4f} {r['speed_ms']:.2f} ms/img")
         return rows
@@ -93,6 +101,7 @@ def run(
         augment=augment,
         rect=rect,
         save_json=save_json,
+        mesh=mesh,
     )
     print(
         f"P {res['mp']:.4f}  R {res['mr']:.4f}  mAP50 {res['map50']:.4f}  mAP50-95 {res['map']:.4f}  "
@@ -120,6 +129,8 @@ def parse_opt():
     p.add_argument("--save-json", type=str, default=None, help="write native-space COCO records here")
     p.add_argument("--fused", action="store_true",
                    help="fused Pallas inference kernels (TPU; mAP-invariant, slow first compile)")
+    p.add_argument("--multichip", action="store_true",
+                   help="data-parallel eval over all local devices (batch sharded on the mesh)")
     return p.parse_args()
 
 

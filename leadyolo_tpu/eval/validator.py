@@ -24,6 +24,7 @@ from ..data.datasets import YoloDataset
 from ..data.loader import DataLoader
 from ..ops.metrics import ap_per_class, ConfusionMatrix, process_batch
 from ..ops.nms import non_max_suppression
+from ..parallel.mesh import batch_sharding, replicate
 
 
 def validate(
@@ -46,6 +47,7 @@ def validate(
     augment: bool = False,
     rect: bool = True,
     reuse: Optional[dict] = None,
+    mesh=None,
 ):
     """Evaluate mAP on a directory/txt of YOLO-format images.
 
@@ -56,12 +58,26 @@ def validate(
     without reuse each call re-scans labels and builds a FRESH jax.jit object
     (full retrace + executable rebuild), which dominates epoch time on
     remote-compile backends.
+
+    ``mesh``: a ``jax.sharding.Mesh`` for data-parallel multi-chip inference
+    (the eval counterpart of the trainer's DP mesh — the reference has no
+    distributed val at all, its val always runs on one device,
+    reference val.py:122-126). Batches are sharded on the leading dim,
+    params replicated; XLA partitions the whole forward+decode+NMS graph so
+    throughput scales with chip count over ICI. Requires
+    batch_size % n_devices == 0 (batches are already padded static).
     """
     nc = model.nc
     iouv = np.linspace(0.5, 0.95, 10)
+    if mesh is not None:
+        n_dev = int(mesh.devices.size)
+        if batch_size % n_dev:
+            raise ValueError(f"batch_size {batch_size} not divisible by mesh size {n_dev}")
+        variables = replicate(mesh, variables)
+        _in_sharding = batch_sharding(mesh)
 
     key = (str(data_path), img_size, batch_size, rect, augment, str(compute_dtype),
-           max_targets, conf_thres, iou_thres, max_det, max_nms, workers)
+           max_targets, conf_thres, iou_thres, max_det, max_nms, workers, mesh)
     if reuse is not None and reuse.get("key") == key:
         ds, dl, infer = reuse["ds"], reuse["dl"], reuse["infer"]
     else:
@@ -119,7 +135,11 @@ def validate(
         first_of_shape = imgs.shape[1:3] not in compiled_shapes
         compiled_shapes.add(imgs.shape[1:3])
         t0 = time.perf_counter()
-        det, valid = infer(variables, jnp.asarray(imgs))
+        if mesh is not None:
+            imgs_dev = jax.device_put(imgs, _in_sharding)
+        else:
+            imgs_dev = jnp.asarray(imgs)
+        det, valid = infer(variables, imgs_dev)
         det = np.asarray(det)  # host fetch forces completion
         valid = np.asarray(valid)
         dt = time.perf_counter() - t0
@@ -185,7 +205,8 @@ def validate(
         # kept batch once — already compiled — for an untainted speed number
         for imgs_k, b_k in kept_batches.values():
             t0 = time.perf_counter()
-            det_k, valid_k = infer(variables, jnp.asarray(imgs_k))
+            imgs_k = jax.device_put(imgs_k, _in_sharding) if mesh is not None else jnp.asarray(imgs_k)
+            det_k, valid_k = infer(variables, imgs_k)
             np.asarray(det_k), np.asarray(valid_k)
             infer_time += (time.perf_counter() - t0) * (b_k / batch_size)
             timed_images += b_k
