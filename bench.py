@@ -126,15 +126,25 @@ def run_bench(fused: bool) -> tuple[float, str]:
         )
         return det, valid
 
-    host_batches, dtag = _load_batches(4)
+    # 2 distinct batches is enough for a throughput loop (activations, not
+    # inputs, dominate HBM traffic); more only inflates the host->device
+    # upload, which rides a slow tunnel here (~315 MB at 2 batches of uint8)
+    n_batches = 2
+    host_batches, dtag = _load_batches(n_batches)
+    t_up = time.perf_counter()
     images = [jax.device_put(b) for b in host_batches]
+    jax.block_until_ready(images)
+    sys.stderr.write(f"[bench] {n_batches}x{BATCH} uint8 batches on device "
+                     f"in {time.perf_counter() - t_up:.1f}s ({dtag})\n")
 
     # compile + warmup (float() forces a real device round-trip — the axon
     # tunnel's block_until_ready alone does not guarantee completion)
+    t_wu = time.perf_counter()
     float(jnp.sum(infer(variables, images[0])[0]))
+    sys.stderr.write(f"[bench] compile+warmup {time.perf_counter() - t_wu:.1f}s\n")
 
     t0 = time.perf_counter()
-    outs = [infer(variables, images[i % 4]) for i in range(ITERS)]
+    outs = [infer(variables, images[i % n_batches]) for i in range(ITERS)]
     float(jnp.sum(outs[-1][0]))  # drain the pipeline
     dt = time.perf_counter() - t0
     return BATCH * ITERS / dt, f"{wtag}-weights/{dtag}-data"
