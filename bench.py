@@ -1,12 +1,21 @@
 """Headline benchmark: LEAD-YOLO end-to-end inference throughput on one TPU chip.
 
-Pipeline under test = bf16 forward + anchor decode + on-device NMS at 640px
-(the reference's FPS metric is 1000/(pre+infer+NMS) per image at batch 1,
-val.py:301-306; its published LEAD-YOLO number is 35.3 FPS on an unspecified
-cloud GPU — BASELINE.md). We report images/sec at the throughput-optimal batch
-and compare against that 35.3 img/s baseline.
+Pipeline under test = uint8 normalize + bf16 forward + anchor decode + on-device
+NMS at 640px (the reference's FPS metric is 1000/(pre+infer+NMS) per image at
+batch 1, val.py:301-306; its published LEAD-YOLO number is 35.3 FPS on an
+unspecified cloud GPU — BASELINE.md). We report images/sec at the
+throughput-optimal batch and compare against that 35.3 img/s baseline.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", "path"}.
+Round-3 postmortem: the gate measured 354.6 img/s because the timed region was
+50 sequential host-side dispatches, and on the axon tunnel each dispatch costs
+~hundreds of ms — the measurement was dispatch-bound, not chip-bound (roofline
+says the chip does the work in ~23 ms/batch). The timed region is now ONE
+dispatch: a jitted `lax.fori_loop` that iterates ITERS times over the
+device-resident batches, carrying a scalar reduction of every iteration's
+outputs so nothing is dead-code-eliminated. Dispatch→drain around that single
+call times chip work; the per-dispatch overhead is measured separately and
+reported as a labeled diagnostic (`per_dispatch_ms`), so the tunnel latency is
+itself quantified instead of polluting the throughput number.
 
 Crash safety (round-2 postmortem): the gate must NEVER exit non-zero because
 of an experimental kernel. The fused Pallas path is attempted only when a
@@ -16,13 +25,15 @@ kernel fault kills the child, not the gate — with the XLA path as fallback.
 """
 import json
 import os
+import re
 import subprocess
 import sys
 import time
 
 BASELINE_FPS = 35.3  # reference LEAD-YOLO FPS (reference README.md:126-128)
 BATCH = 128  # throughput-optimal on v5e (32: ~2.9k, 64: ~3.3k, 128: ~4.0k img/s)
-ITERS = 50
+ITERS = 100  # loop trip count inside the single timed dispatch
+N_BATCHES = 2  # distinct device-resident input batches the loop cycles over
 FUSED_SUBPROC_TIMEOUT_S = 2400  # cold Mosaic compile via the remote tunnel is ~10 min
 
 
@@ -34,16 +45,21 @@ def _fused_blessed() -> bool:
     d = os.path.join(os.path.dirname(os.path.abspath(__file__)), "runs", "fused_ab")
     if not os.path.isdir(d):
         return False
-    for name in sorted(os.listdir(d), reverse=True):
-        if name.startswith("AB_") and name.endswith(".json"):
-            try:
-                with open(os.path.join(d, name)) as f:
-                    rec = json.load(f)
-                # fused must be verified correct on this hardware AND faster
-                # than the XLA path to be worth routing the gate through
-                return bool(rec.get("ok")) and bool(rec.get("faster"))
-            except Exception:
-                return False
+    # numeric-aware ordering so AB_r10 sorts after AB_r9 (round-3 verdict nit)
+    def key(name):
+        nums = [int(x) for x in re.findall(r"\d+", name)]
+        return (nums, name)
+
+    names = [n for n in os.listdir(d) if n.startswith("AB_") and n.endswith(".json")]
+    for name in sorted(names, key=key, reverse=True):
+        try:
+            with open(os.path.join(d, name)) as f:
+                rec = json.load(f)
+            # fused must be verified correct on this hardware AND faster
+            # than the XLA path to be worth routing the gate through
+            return bool(rec.get("ok")) and bool(rec.get("faster"))
+        except Exception:
+            return False
     return False
 
 
@@ -104,21 +120,24 @@ def _load_batches(n_batches: int):
     ], "ssdd"
 
 
-def run_bench(fused: bool) -> tuple[float, str]:
-    """Build the model and measure e2e images/sec. Returns (imgs/sec, tag)."""
+def run_bench(fused: bool) -> tuple[float, str, dict]:
+    """Build the model and measure e2e images/sec with a single-dispatch
+    on-device loop. Returns (imgs/sec, tag, diagnostics)."""
     import jax
     import jax.numpy as jnp
+    from jax import lax
 
-    from leadyolo_tpu.utils import enable_compilation_cache, set_fused_kernels
+    from leadyolo_tpu.utils import default_cache_dir, enable_compilation_cache, set_fused_kernels
 
+    cache_dir = default_cache_dir()
+    entries_before = len(os.listdir(cache_dir)) if os.path.isdir(cache_dir) else 0
     enable_compilation_cache()
     set_fused_kernels(fused)
     from leadyolo_tpu.ops.nms import non_max_suppression
 
     model, variables, wtag = _load_model()
 
-    @jax.jit
-    def infer(variables, images):
+    def infer_one(variables, images):
         x = images.astype(jnp.bfloat16) / 255.0
         preds = model.apply(variables, x, train=False, decode=True)
         det, valid, _ = non_max_suppression(
@@ -126,49 +145,96 @@ def run_bench(fused: bool) -> tuple[float, str]:
         )
         return det, valid
 
-    # 2 distinct batches is enough for a throughput loop (activations, not
-    # inputs, dominate HBM traffic); more only inflates the host->device
-    # upload, which rides a slow tunnel here (~315 MB at 2 batches of uint8)
-    n_batches = 2
-    host_batches, dtag = _load_batches(n_batches)
+    @jax.jit
+    def bench_loop(variables, images, iters):
+        """ONE dispatch that runs `iters` e2e batches back-to-back on device.
+
+        `images` is (N_BATCHES, B, H, W, 3) uint8, resident in HBM; each
+        iteration dynamic-indexes a batch (index depends on the loop counter,
+        so XLA cannot hoist or CSE the body across iterations) and folds the
+        outputs into a scalar carry so no part of the pipeline is DCE'd.
+        `iters` is a traced scalar: ITERS and the warmup/per-dispatch probes
+        share one executable (no per-trip-count recompile)."""
+
+        def body(i, acc):
+            batch = lax.dynamic_index_in_dim(images, i % N_BATCHES, axis=0, keepdims=False)
+            det, valid = infer_one(variables, batch)
+            return acc + jnp.sum(valid).astype(jnp.float32) + jnp.sum(det[..., :4]) * 1e-9
+
+        return lax.fori_loop(0, iters, body, jnp.float32(0.0))
+
+    host_batches, dtag = _load_batches(N_BATCHES)
+    import numpy as np
+
     t_up = time.perf_counter()
-    images = [jax.device_put(b) for b in host_batches]
+    images = jax.device_put(np.stack(host_batches))
     jax.block_until_ready(images)
-    sys.stderr.write(f"[bench] {n_batches}x{BATCH} uint8 batches on device "
+    sys.stderr.write(f"[bench] {N_BATCHES}x{BATCH} uint8 batches on device "
                      f"in {time.perf_counter() - t_up:.1f}s ({dtag})\n")
 
     # compile + warmup (float() forces a real device round-trip — the axon
     # tunnel's block_until_ready alone does not guarantee completion)
     t_wu = time.perf_counter()
-    float(jnp.sum(infer(variables, images[0])[0]))
-    sys.stderr.write(f"[bench] compile+warmup {time.perf_counter() - t_wu:.1f}s\n")
-
-    t0 = time.perf_counter()
-    outs = [infer(variables, images[i % n_batches]) for i in range(ITERS)]
-    float(jnp.sum(outs[-1][0]))  # drain the pipeline
-    dt = time.perf_counter() - t0
-    return BATCH * ITERS / dt, f"{wtag}-weights/{dtag}-data"
-
-
-def _emit(imgs_per_sec: float, path: str):
-    print(
-        json.dumps(
-            {
-                "metric": "lead-yolo_640px_e2e_infer_throughput",
-                "value": round(imgs_per_sec, 2),
-                "unit": "images/sec/chip",
-                "vs_baseline": round(imgs_per_sec / BASELINE_FPS, 2),
-                "path": path,
-            }
-        )
+    float(bench_loop(variables, images, 1))
+    t_compile = time.perf_counter() - t_wu
+    sys.stderr.write(
+        f"[bench] compile+warmup {t_compile:.1f}s "
+        f"(cache {cache_dir}: {entries_before} entries before run; "
+        f"{'HIT' if t_compile < 60 else 'MISS'} heuristic)\n"
     )
+
+    # per-dispatch diagnostic: the old, tunnel-sensitive measurement. Each
+    # call does one batch; wall time - device time = dispatch overhead.
+    n_probe = 5
+    t0 = time.perf_counter()
+    for _ in range(n_probe):
+        float(bench_loop(variables, images, 1))
+    per_dispatch_ms = (time.perf_counter() - t0) * 1000 / n_probe
+
+    # the headline: ONE dispatch, ITERS batches, drain once
+    t0 = time.perf_counter()
+    acc = bench_loop(variables, images, ITERS)
+    acc = float(acc)  # drain
+    dt = time.perf_counter() - t0
+    device_ms_per_batch = dt * 1000 / ITERS
+    imgs_per_sec = BATCH * ITERS / dt
+    per_call_imgs_per_sec = BATCH / (per_dispatch_ms / 1000)
+    sys.stderr.write(
+        f"[bench] single-dispatch loop: {ITERS} batches in {dt:.2f}s -> "
+        f"{device_ms_per_batch:.2f} ms/batch ({imgs_per_sec:.0f} img/s); "
+        f"per-dispatch probe {per_dispatch_ms:.0f} ms "
+        f"({per_call_imgs_per_sec:.0f} img/s host-dispatch-bound); acc={acc:.3f}\n"
+    )
+    diag = {
+        "device_ms_per_batch": round(device_ms_per_batch, 2),
+        "per_dispatch_ms": round(per_dispatch_ms, 1),
+        "per_dispatch_imgs_per_sec": round(per_call_imgs_per_sec, 1),
+        "compile_warmup_s": round(t_compile, 1),
+        "cache_entries_before": entries_before,
+        "iters": ITERS,
+        "batch": BATCH,
+    }
+    return imgs_per_sec, f"{wtag}-weights/{dtag}-data", diag
+
+
+def _emit(imgs_per_sec: float, path: str, diag: dict | None = None):
+    rec = {
+        "metric": "lead-yolo_640px_e2e_infer_throughput",
+        "value": round(imgs_per_sec, 2),
+        "unit": "images/sec/chip",
+        "vs_baseline": round(imgs_per_sec / BASELINE_FPS, 2),
+        "path": path,
+    }
+    if diag:
+        rec.update(diag)
+    print(json.dumps(rec))
 
 
 def main():
     if "--fused-worker" in sys.argv:
         # child process: run the fused bench; a kernel fault only kills us
-        val, tag = run_bench(fused=True)
-        print(json.dumps({"fused_imgs_per_sec": val, "tag": tag}))
+        val, tag, diag = run_bench(fused=True)
+        print(json.dumps({"fused_imgs_per_sec": val, "tag": tag, "diag": diag}))
         return
 
     if _fused_blessed():
@@ -182,11 +248,12 @@ def main():
             if out.returncode == 0:
                 for line in reversed(out.stdout.strip().splitlines()):
                     try:
-                        val = json.loads(line).get("fused_imgs_per_sec")
+                        rec = json.loads(line)
+                        val = rec.get("fused_imgs_per_sec")
                     except Exception:
                         continue
                     if val:
-                        _emit(val, "pallas-fused " + json.loads(line).get("tag", ""))
+                        _emit(val, "pallas-fused " + rec.get("tag", ""), rec.get("diag"))
                         return
             sys.stderr.write(
                 f"fused bench subprocess failed (rc={out.returncode}); "
@@ -197,8 +264,8 @@ def main():
         except Exception as e:  # never let the probe take down the gate
             sys.stderr.write(f"fused bench probe error ({e!r}); falling back to XLA path\n")
 
-    val, tag = run_bench(fused=False)
-    _emit(val, "xla " + tag)
+    val, tag, diag = run_bench(fused=False)
+    _emit(val, "xla " + tag, diag)
 
 
 if __name__ == "__main__":

@@ -29,6 +29,12 @@ def parse_opt(argv=None):
     p.add_argument("--multichip", action="store_true", help="data-parallel over all local devices")
     p.add_argument("--freeze", type=int, nargs="+", default=[], help="freeze layer indices (reference train.py:138-144)")
     p.add_argument("--multi-scale", action="store_true", help="random-resize batches over static buckets")
+    p.add_argument(
+        "--rect", action="store_true",
+        help="rectangular training: aspect-ratio-bucketed batches on the smallest "
+        "stride-aligned canvas (reference train.py:452, utils/dataloaders.py:544-567); "
+        "disables mosaic and batch shuffling like the reference",
+    )
     p.add_argument("--image-weights", action="store_true", help="sample images by per-class mAP deficit")
     p.add_argument("--noautoanchor", action="store_true")
     p.add_argument(
@@ -63,6 +69,7 @@ def run_train(opt, hyp=None, save_dir=None, **overrides):
         mesh=mesh,
         freeze=tuple(opt.freeze),
         multi_scale=opt.multi_scale,
+        rect=opt.rect,
         image_weights=opt.image_weights,
         noautoanchor=opt.noautoanchor,
         accumulate=opt.accumulate,

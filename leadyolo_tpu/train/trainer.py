@@ -76,6 +76,7 @@ def train(
     noval: bool = False,
     freeze=(),
     multi_scale: bool = False,
+    rect: bool = False,
     image_weights: bool = False,
     accumulate: int = -1,
     noautoanchor: bool = False,
@@ -96,8 +97,11 @@ def train(
     model = DetectionModel(cfg, nc=nc, img_size=img_size)
     variables = model.init(jax.random.PRNGKey(seed), img_size=img_size)
 
+    if rect and multi_scale:
+        raise ValueError("--rect and --multi-scale are mutually exclusive (reference train.py:230)")
     ds = YoloDataset(
-        data_cfg["train"], img_size=img_size, augment=True, hyp=hyp, max_targets=max_targets, seed=seed
+        data_cfg["train"], img_size=img_size, augment=True, hyp=hyp, max_targets=max_targets, seed=seed,
+        rect=rect, batch_size=batch_size,
     )
 
     # gradient accumulation to a nominal total batch of 64 (reference
@@ -111,11 +115,19 @@ def train(
     n_local = max(len(ds) // max(jax.process_count(), 1), 1)
     accumulate = max(min(accumulate, n_local // max(batch_size, 1)), 1)
     total_batch = batch_size * accumulate
+    if rect and total_batch != batch_size:
+        # re-bucket so canvas groups align with the full optimizer batch the
+        # loader yields (the per-step scan slices micro-batches out of it)
+        ds._setup_rect_shapes(total_batch)
 
     dl = DataLoader(
         ds,
         total_batch,
-        shuffle=True,
+        # rect buckets are positional: batch k is rows [k*bs, (k+1)*bs) of the
+        # aspect-sorted order, so the loader must not shuffle across batches
+        # (the reference forces shuffle=False under rect too,
+        # utils/dataloaders.py:135-137)
+        shuffle=not rect,
         workers=workers,
         seed=seed,
         process_index=jax.process_index(),

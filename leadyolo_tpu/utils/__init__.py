@@ -42,11 +42,24 @@ def disable_fused_kernels():
         _FUSED_OVERRIDE = prev
 
 
-def enable_compilation_cache(path: str = "/tmp/leadyolo_jax_cache"):
+def default_cache_dir() -> str:
+    """Repo-local XLA cache dir. Round-3 postmortem: the cache lived in
+    /tmp, which did not survive into the driver environment — the gate paid
+    a 1016 s cold compile (BENCH_r03.json). A dir inside the repo persists
+    with the checkout. Override with LEADYOLO_JAX_CACHE."""
+    env = os.environ.get("LEADYOLO_JAX_CACHE")
+    if env:
+        return env
+    repo = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    return os.path.join(repo, ".jax_cache")
+
+
+def enable_compilation_cache(path: str | None = None):
     """Persistent XLA compilation cache — first compile of the big train/eval
     graphs is slow (remote compile); later runs hit the cache."""
     import jax
 
+    path = path or default_cache_dir()
     os.makedirs(path, exist_ok=True)
     try:
         jax.config.update("jax_compilation_cache_dir", path)

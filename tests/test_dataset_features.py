@@ -137,3 +137,39 @@ def test_shape_meta_roundtrip(tmp_path):
         np.testing.assert_allclose(
             [cx / w0, cy / h0, bw / w0, bh / h0], orow[1:], atol=0.01
         )
+
+
+def test_rect_training_batches_hit_static_bucket_set(tmp_path):
+    """Rect TRAINING (reference train.py:452): augment stays on, mosaic turns
+    off, and every loader batch lands on one of the dataset's closed set of
+    stride-aligned canvas shapes — the property that bounds XLA recompiles."""
+    from leadyolo_tpu.data.loader import DataLoader
+
+    path = make_dataset(tmp_path, n=8, sizes=[(100, 300), (300, 100)])
+    ds = YoloDataset(
+        path, img_size=192, augment=True, hyp={"mosaic": 1.0, "fliplr": 0.5},
+        rect=True, batch_size=4, stride=32, seed=0,
+    )
+    assert not ds.mosaic  # rect disables mosaic like the reference
+    buckets = {tuple(s) for s in ds.batch_shapes}
+    assert len(buckets) <= 2
+    dl = DataLoader(ds, batch_size=4, shuffle=False, workers=2)
+    seen = set()
+    for imgs, targets, tmask in dl:
+        assert imgs.shape[1:3] in buckets
+        seen.add(imgs.shape[1:3])
+        assert targets.shape[0] == imgs.shape[0] == tmask.shape[0]
+    assert seen == buckets  # both canvas groups were actually emitted
+
+
+def test_rect_rebucket_idempotent(tmp_path):
+    """Trainer re-buckets when grad accumulation grows the loader batch;
+    calling _setup_rect_shapes again must keep the sort/bucket invariants."""
+    path = make_dataset(tmp_path, n=8, sizes=[(100, 300), (300, 100)])
+    ds = YoloDataset(path, img_size=192, augment=False, rect=True, batch_size=2, stride=32)
+    files_before = list(ds.im_files)
+    ds._setup_rect_shapes(4)
+    assert ds.batch_shapes.shape == (2, 2)
+    assert sorted(ds.im_files) == sorted(files_before)
+    ar = ds.shapes[:, 1] / ds.shapes[:, 0]
+    assert (np.diff(ar) >= 0).all()  # still aspect-sorted

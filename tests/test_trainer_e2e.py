@@ -51,3 +51,27 @@ def test_train_loop_epochs_with_val_reuse(tiny_dataset, tmp_path):
     assert len(csv_rows) == 4  # header + 3 epochs, each with a validated mAP
     assert (tmp_path / "run" / "last.ckpt").exists()
     assert np.isfinite(results["map50"])
+
+
+@pytest.mark.slow
+def test_train_loop_rect(tiny_dataset, tmp_path):
+    """--rect end-to-end: one epoch of rect training completes and validates
+    (reference train.py:452 rect training path)."""
+    best, results, save_dir = train(
+        cfg="yolov5n",
+        data=tiny_dataset,
+        epochs=1,
+        batch_size=4,
+        img_size=64,
+        workers=2,
+        save_dir=tmp_path / "run_rect",
+        compute_dtype=jnp.float32,
+        noautoanchor=True,
+        accumulate=1,
+        rect=True,
+        loggers=("csv",),
+        log_fn=lambda *a: None,
+    )
+    csv_rows = (tmp_path / "run_rect" / "results.csv").read_text().strip().splitlines()
+    assert len(csv_rows) == 2
+    assert np.isfinite(results["map50"])

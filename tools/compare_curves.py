@@ -33,6 +33,10 @@ def main():
     for e in epochs:
         b, c = base.get(e), cand.get(e)
         if b is None or c is None:
+            missing = " and ".join(
+                n for n, d in (("baseline", b), ("candidate", c)) if d is None
+            )
+            print(f"| {e} | — epoch absent from {missing} csv — ||||")
             continue
         print(
             f"| {e} | {float(b['mAP50']):.4f} | {float(c['mAP50']):.4f} "
