@@ -160,12 +160,43 @@ def export_pb(model, variables, img_size=640, batch=1, out="model.pb", names=Non
 
 
 @try_export
-def export_tflite(model, variables, img_size=640, batch=1, out="model.tflite", int8=False, rep_data=None, names=None):
+def export_tflite(model, variables, img_size=640, batch=1, out="model.tflite", int8=False,
+                  rep_data=None, names=None, quant_mode="8x8"):
+    """quant_mode (when int8=True):
+      "8x8"        — full-integer: int8 weights + int8 activations, decode
+                     in-graph on [0,1]-normalized boxes (reference
+                     export.py:372-401 equivalent; EdgeTPU-compatible).
+      "16x8"       — int8 weights + int16 activations (TFLite 16x8 mode):
+                     recovers most of the 8x8 accuracy loss because the
+                     activation grid is 256x finer; not EdgeTPU-compatible.
+      "8x8-split"  — full-integer backbone+heads, decode OUTSIDE the
+                     quantized graph: the artifact emits the raw per-scale
+                     head maps (sigmoid-space) and MultiBackend decodes in
+                     float at load. Removes the shared-output-scale problem
+                     entirely — boxes never pass through a quantizer.
+    """
     import tensorflow as tf
 
-    # int8 graphs emit [0,1]-normalized boxes so one per-tensor scale covers
-    # the whole output; MultiBackend rescales at load (meta "normalized")
-    m = _tf_module(model, variables, img_size, batch, normalize=img_size if int8 else None)
+    split = int8 and quant_mode == "8x8-split"
+    # int8 in-graph decode emits [0,1]-normalized boxes so one per-tensor
+    # scale covers the whole output; MultiBackend rescales at load (meta
+    # "normalized"). The split mode skips decode instead.
+    if split:
+        def raw_fn(images):
+            x = images.astype(jnp.float32) / 255.0
+            # raw per-scale maps (B, ny, nx, na*no) BEFORE sigmoid: their
+            # dynamic range is modest and zero-centered, ideal for int8
+            return tuple(model.apply(variables, x, train=False, decode=False))
+
+        from jax.experimental import jax2tf
+
+        tf_fn = jax2tf.convert(raw_fn, with_gradient=False,
+                               native_serialization_platforms=list(_EXPORT_PLATFORMS))
+        m = tf.Module()
+        m.f = tf.function(tf_fn, autograph=False,
+                          input_signature=[tf.TensorSpec((batch, img_size, img_size, 3), tf.uint8)])
+    else:
+        m = _tf_module(model, variables, img_size, batch, normalize=img_size if int8 else None)
     conv = tf.lite.TFLiteConverter.from_concrete_functions([m.f.get_concrete_function()], m)
     conv.target_spec.supported_ops = [tf.lite.OpsSet.TFLITE_BUILTINS, tf.lite.OpsSet.SELECT_TF_OPS]
     if int8:
@@ -181,8 +212,14 @@ def export_tflite(model, variables, img_size=640, batch=1, out="model.tflite", i
 
         conv.optimizations = [tf.lite.Optimize.DEFAULT]
         conv.representative_dataset = rep
+        if quant_mode == "16x8":
+            conv.target_spec.supported_ops = [
+                tf.lite.OpsSet.EXPERIMENTAL_TFLITE_BUILTINS_ACTIVATIONS_INT16_WEIGHTS_INT8,
+                tf.lite.OpsSet.SELECT_TF_OPS,
+            ]
     Path(out).write_bytes(conv.convert())
-    _write_meta(out, model, names, normalized=bool(int8))
+    _write_meta(out, model, names, normalized=bool(int8) and not split,
+                raw_heads=bool(split), quant_mode=quant_mode if int8 else None)
     return out
 
 
@@ -212,7 +249,7 @@ EXPORTERS = {
 }
 
 
-def run(weights, include=("stablehlo",), cfg="lead-yolo", imgsz=640, batch=1, int8=False, data=None, out_dir="runs/export"):
+def run(weights, include=("stablehlo",), cfg="lead-yolo", imgsz=640, batch=1, int8=False, data=None, out_dir="runs/export", quant_mode="8x8"):
     from .val import load_weights
 
     from ..utils import disable_fused_kernels
@@ -229,7 +266,7 @@ def run(weights, include=("stablehlo",), cfg="lead-yolo", imgsz=640, batch=1, in
             out = out_dir / (stem + suffix)
             kwargs = dict(img_size=imgsz, batch=batch, out=str(out))
             if fmt == "tflite":
-                kwargs.update(int8=int8, rep_data=data)
+                kwargs.update(int8=int8, rep_data=data, quant_mode=quant_mode)
             outs.append(EXPORTERS[fmt](model, variables, **kwargs))
     return outs
 
@@ -242,10 +279,13 @@ def main():
     p.add_argument("--imgsz", type=int, default=640)
     p.add_argument("--batch", type=int, default=1)
     p.add_argument("--int8", action="store_true")
+    p.add_argument("--quant-mode", default="8x8", choices=["8x8", "16x8", "8x8-split"],
+                   help="int8 flavor: full-integer in-graph decode / int16 activations / "
+                        "full-integer with decode outside the quantized graph")
     p.add_argument("--data", default=None)
     p.add_argument("--out-dir", default="runs/export")
     a = p.parse_args()
-    run(a.weights, a.include, a.cfg, a.imgsz, a.batch, a.int8, a.data, a.out_dir)
+    run(a.weights, a.include, a.cfg, a.imgsz, a.batch, a.int8, a.data, a.out_dir, a.quant_mode)
 
 
 if __name__ == "__main__":

@@ -110,20 +110,42 @@ class MultiBackend:
             self._interp = tf.lite.Interpreter(model_path=w)
             self._interp.allocate_tensors()
             self._in = self._interp.get_input_details()[0]
-            self._out = self._interp.get_output_details()[0]
+            self._outs = self._interp.get_output_details()
 
-            def tflite_fwd(x):
-                self._interp.set_tensor(self._in["index"], np.asarray(x, self._in["dtype"]))
-                self._interp.invoke()
-                y = self._interp.get_tensor(self._out["index"])
-                if self.meta.get("normalized"):
-                    # int8 artifacts carry [0,1] boxes (one per-tensor scale
-                    # must cover boxes AND probabilities); rescale to pixels
-                    # like the reference (models/common.py:751-754)
-                    y = np.concatenate([y[..., :4] * float(self.img_size), y[..., 4:]], axis=-1)
-                return y
+            if self.meta.get("raw_heads"):
+                # "8x8-split" int8 artifacts emit the raw per-scale head maps
+                # (quantized region ends before decode, so boxes never pass
+                # through a quantizer); decode here in float using the meta's
+                # anchors/strides — the exact decode the in-graph path runs
+                from .heads import decode_predictions
 
-            self._fwd = tflite_fwd
+                anchors_px = np.asarray(self.meta["anchors"], np.float32)
+                agrid = anchors_px / np.asarray(self.stride, np.float32)[:, None, None]
+                decode = jax.jit(
+                    lambda outs: decode_predictions(outs, agrid, self.stride, self.nc)
+                )
+
+                def tflite_raw_fwd(x):
+                    self._interp.set_tensor(self._in["index"], np.asarray(x, self._in["dtype"]))
+                    self._interp.invoke()
+                    outs = [self._interp.get_tensor(d["index"]) for d in self._outs]
+                    outs.sort(key=lambda o: -o.shape[1])  # P3 (largest ny) first
+                    return np.asarray(decode([jnp.asarray(o, jnp.float32) for o in outs]))
+
+                self._fwd = tflite_raw_fwd
+            else:
+                def tflite_fwd(x):
+                    self._interp.set_tensor(self._in["index"], np.asarray(x, self._in["dtype"]))
+                    self._interp.invoke()
+                    y = self._interp.get_tensor(self._outs[0]["index"])
+                    if self.meta.get("normalized"):
+                        # int8 artifacts carry [0,1] boxes (one per-tensor scale
+                        # must cover boxes AND probabilities); rescale to pixels
+                        # like the reference (models/common.py:751-754)
+                        y = np.concatenate([y[..., :4] * float(self.img_size), y[..., 4:]], axis=-1)
+                    return y
+
+                self._fwd = tflite_fwd
         else:
             raise ValueError(f"unsupported weights format: {w}")
 

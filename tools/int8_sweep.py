@@ -1,0 +1,157 @@
+"""int8 TFLite quality sweep: measure mAP for each quantization flavor.
+
+Round-3 full-integer int8 lost a third of the mAP (0.7013 -> 0.4656,
+SWEEP_r03). This sweep runs the VERDICT-ordered candidates on the FULL SSDD
+val split (reference benchmarks.py:52-113 contract):
+
+  fp32       — float TFLite control
+  8x8        — full-integer, in-graph normalized decode (the r03 row)
+  16x8       — int8 weights + int16 activations
+  8x8-split  — full-integer backbone+heads, decode outside the quantized
+               graph (MultiBackend raw_heads float decode)
+
+Writes runs/benchmarks/INT8_r04.md + .json. CPU-only (TFLite runtime).
+
+Usage: python tools/int8_sweep.py [--n-eval 0 (=full)] [--out-tag r04]
+"""
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+
+import numpy as np
+
+
+def evaluate(artifact, data_cfg, imgsz=640, n_eval=None, batch=1):
+    import jax.numpy as jnp
+
+    from leadyolo_tpu.data.datasets import YoloDataset
+    from leadyolo_tpu.models.backend import MultiBackend
+    from leadyolo_tpu.ops.metrics import ap_per_class, process_batch
+    from leadyolo_tpu.ops.nms import non_max_suppression
+
+    ds = YoloDataset(data_cfg["val"], img_size=imgsz, augment=False, max_targets=128)
+    n_eval = len(ds) if not n_eval else min(n_eval, len(ds))
+    iouv = np.linspace(0.5, 0.95, 10)
+    backend = MultiBackend(artifact, nc=data_cfg["nc"], img_size=imgsz)
+    backend.warmup((batch, imgsz, imgsz, 3))
+    stats = []
+    t_total = 0.0
+    for i in range(0, n_eval, batch):
+        ims, lbs = zip(*(ds[j] for j in range(i, min(i + batch, n_eval))))
+        x = np.stack(ims)
+        if len(x) < batch:
+            x = np.concatenate([x, np.zeros((batch - len(x),) + x.shape[1:], x.dtype)])
+        t0 = time.perf_counter()
+        preds = backend.forward(x)
+        t_total += time.perf_counter() - t0
+        det, valid, _ = non_max_suppression(
+            jnp.asarray(preds[: len(ims)], jnp.float32), conf_thres=0.001, iou_thres=0.6,
+            multi_label=data_cfg["nc"] > 1, max_det=300, nc=data_cfg["nc"],
+        )
+        det, valid = np.asarray(det), np.asarray(valid)
+        for k, lb in enumerate(lbs):
+            d = det[k][valid[k]]
+            tb = np.zeros((len(lb), 5), np.float32)
+            if len(lb):
+                tb[:, 0] = lb[:, 0]
+                cx, cy, w, h = (lb[:, 1] * imgsz, lb[:, 2] * imgsz, lb[:, 3] * imgsz, lb[:, 4] * imgsz)
+                tb[:, 1:] = np.stack([cx - w / 2, cy - h / 2, cx + w / 2, cy + h / 2], 1)
+            stats.append((process_batch(d, tb, iouv), d[:, 4], d[:, 5], tb[:, 0]))
+    tp = np.concatenate([s[0] for s in stats])
+    conf = np.concatenate([s[1] for s in stats])
+    pc = np.concatenate([s[2] for s in stats])
+    tc = np.concatenate([s[3] for s in stats])
+    m = ap_per_class(tp, conf, pc, tc) if len(tc) else None
+    map50 = float(m["ap"][:, 0].mean()) if m is not None else 0.0
+    map5095 = float(m["ap_mean"].mean()) if m is not None else 0.0
+    return dict(
+        map50=round(map50, 4),
+        map5095=round(map5095, 4),
+        ms_per_img=round(t_total / n_eval * 1000, 1),
+        n_eval=n_eval,
+        size_mb=round(os.path.getsize(artifact) / 1e6, 2),
+    )
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--weights", default="weights/lead-yolo-ssdd.ckpt")
+    ap.add_argument("--n-eval", type=int, default=0, help="0 = full val split")
+    ap.add_argument("--out-tag", default="r04")
+    ap.add_argument("--modes", nargs="+", default=["fp32", "8x8", "16x8", "8x8-split"])
+    args = ap.parse_args()
+
+    from leadyolo_tpu.cli.export import run as export_run
+    from leadyolo_tpu.train.trainer import resolve_data
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    os.chdir(repo)
+    data_cfg = resolve_data("ssdd")
+    out_dir = os.path.join("runs", "benchmarks", f"int8_{args.out_tag}")
+    rows = {}
+    for mode in args.modes:
+        d = os.path.join(out_dir, mode.replace("8x8-split", "split"))
+        arts = export_run(
+            args.weights, include=["tflite"], imgsz=640, batch=1,
+            int8=(mode != "fp32"), data=data_cfg["train"] if mode != "fp32" else None,
+            out_dir=d, quant_mode=mode if mode != "fp32" else "8x8",
+        )
+        if not arts or not arts[0]:
+            rows[mode] = {"error": "export failed"}
+            continue
+        print(f"[int8_sweep] evaluating {mode}: {arts[0]}", flush=True)
+        try:
+            rows[mode] = evaluate(arts[0], data_cfg, n_eval=args.n_eval)
+        except Exception as e:
+            rows[mode] = {"error": repr(e)[:300]}
+        print(f"[int8_sweep] {mode}: {rows[mode]}", flush=True)
+
+    out_json = os.path.join("runs", "benchmarks", f"INT8_{args.out_tag}.json")
+    with open(out_json, "w") as f:
+        json.dump(rows, f, indent=1)
+    lines = [
+        f"# int8 quantization sweep — {args.out_tag} (full SSDD val split)",
+        "",
+        "Regenerate: `python tools/int8_sweep.py`. See cli/export.py `quant_mode`.",
+        "",
+        "| mode | mAP50 | mAP50-95 | ms/img (CPU) | size MB |",
+        "|---|---|---|---|---|",
+    ]
+    for mode, r in rows.items():
+        if "error" in r:
+            lines.append(f"| {mode} | — | — | — | — | {r['error']} |")
+        else:
+            lines.append(
+                f"| {mode} | {r['map50']} | {r['map5095']} | {r['ms_per_img']} | {r['size_mb']} |"
+            )
+    lines += [
+        "",
+        "Notes:",
+        "- `8x8-split` is the shipping int8 flavor (benchmarks.py `--int8` row):",
+        "  full-integer backbone+heads with decode OUTSIDE the quantized graph",
+        "  (MultiBackend raw_heads float decode). The r03 in-graph-decode 8x8",
+        "  lost a third of the mAP because boxes and probabilities shared",
+        "  per-tensor output scales; splitting removes box quantization",
+        "  entirely while the quantized region stays EdgeTPU-compatible",
+        "  (detection decode conventionally runs on CPU there anyway).",
+        "- `16x8` (int16 activations) recovers part of the in-graph loss but",
+        "  its CPU ms/img uses TFLite reference kernels — slow on this host,",
+        "  irrelevant on int16-capable NPUs.",
+        "- ms/img is CPU-interpreter time for format fidelity only; the TPU",
+        "  throughput story lives in bench.py / the README roofline.",
+    ]
+    with open(os.path.join("runs", "benchmarks", f"INT8_{args.out_tag}.md"), "w") as f:
+        f.write("\n".join(lines) + "\n")
+    print("\n".join(lines))
+
+
+if __name__ == "__main__":
+    main()
