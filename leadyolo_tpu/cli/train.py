@@ -18,6 +18,10 @@ def parse_opt(argv=None):
     p.add_argument("--batch-size", type=int, default=32)
     p.add_argument("--imgsz", "--img-size", type=int, default=640)
     p.add_argument("--workers", type=int, default=8)
+    p.add_argument("--process-workers", action="store_true",
+                   help="worker PROCESSES instead of threads for the train loader "
+                   "(the reference's N-worker-process design; lifts the GIL ceiling "
+                   "on multi-core hosts)")
     p.add_argument("--save-dir", "--project", type=str, default="runs/train/exp")
     p.add_argument("--cos-lr", action="store_true")
     p.add_argument("--patience", type=int, default=100)
@@ -58,6 +62,7 @@ def run_train(opt, hyp=None, save_dir=None, **overrides):
         batch_size=opt.batch_size,
         img_size=opt.imgsz,
         workers=opt.workers,
+        process_workers=opt.process_workers,
         save_dir=save_dir or opt.save_dir,
         compute_dtype=jnp.float32 if opt.fp32 else jnp.bfloat16,
         cos_lr=opt.cos_lr,

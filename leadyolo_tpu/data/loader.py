@@ -1,20 +1,57 @@
-"""Threaded prefetching batch loader feeding the TPU.
+"""Threaded / multi-process prefetching batch loader feeding the TPU.
 
 The reference uses torch's multi-process DataLoader with an infinite
-repeating sampler (utils/dataloaders.py:103-187). Here: a thread pool decodes
-and augments on the host while the device computes, with per-epoch seeded
-shuffling and per-host sharding (the DistributedSampler equivalent —
-each JAX process takes a disjoint strided slice, reference
-utils/dataloaders.py:141).
+repeating sampler (utils/dataloaders.py:103-187). Here, two modes:
+
+- threads (default): a thread pool decodes and augments on the host while
+  the device computes. The eval path is GIL-free (native C++ letterbox) and
+  scales; the augmenting TRAIN path hits a GIL wall at ~46 img/s regardless
+  of thread count (runs/input_wall/INPUT_WALL_r04.json) — mosaic/perspective
+  spend too much time in numpy glue between the cv2 calls that do release
+  the GIL.
+- use_processes=True: persistent spawn-based worker processes, the
+  reference's N-worker-process design. Workers rebuild the dataset from a
+  pickle (spawn, not fork — forking a process with a live TPU client is
+  unsafe), never import jax, and re-seed per (epoch, batch) so augmentation
+  is deterministic regardless of worker assignment. Parent keeps a bounded
+  task window in flight and reorders results.
+
+Both modes share per-epoch seeded shuffling and per-host sharding (the
+DistributedSampler equivalent — each JAX process takes a disjoint strided
+slice, reference utils/dataloaders.py:141).
 """
 from __future__ import annotations
 
+import multiprocessing as mp
+import pickle
 import queue
 import random
 import threading
 from concurrent.futures import ThreadPoolExecutor
 
 import numpy as np
+
+
+def _proc_worker(ds_bytes: bytes, seed: int, task_q, out_q):
+    """Worker-process loop: rebuild the dataset once, then build batches.
+
+    Lives at module top level so the spawn context can import it; must stay
+    jax-free (leadyolo_tpu.data imports only cv2/numpy)."""
+    ds = pickle.loads(ds_bytes)
+    while True:
+        task = task_q.get()
+        if task is None:
+            return
+        epoch, bi, idxs = task
+        # deterministic augmentation independent of which worker runs the
+        # batch (the thread path mutates one shared rng; here each batch
+        # owns a stream keyed by (seed, epoch, batch))
+        ds.rng = random.Random((seed * 1_000_003 + epoch) * 1_000_003 + bi)
+        try:
+            samples = [ds[i] for i in idxs]
+            out_q.put((bi, ds.collate(samples), None))
+        except Exception as e:  # surface the error in the parent, keep serving
+            out_q.put((bi, None, repr(e)))
 
 
 class DataLoader:
@@ -31,6 +68,7 @@ class DataLoader:
         drop_last: bool = True,
         process_index: int = 0,
         process_count: int = 1,
+        use_processes: bool = False,
     ):
         self.ds = dataset
         self.bs = batch_size
@@ -42,6 +80,8 @@ class DataLoader:
         self.epoch = 0
         self.process_index = process_index
         self.process_count = process_count
+        self.use_processes = use_processes
+        self._pool = None  # persistent worker processes (reference's worker reuse)
         self.weights = None  # optional per-image sampling weights
 
     def set_weights(self, weights):
@@ -69,10 +109,62 @@ class DataLoader:
                 random.Random(self.seed + self.epoch).shuffle(idx)
         return idx[self.process_index :: self.process_count]
 
+    # ---- worker-process mode (reference utils/dataloaders.py N workers) ----
+
+    def _ensure_pool(self):
+        if self._pool is not None:
+            return
+        ctx = mp.get_context("spawn")
+        self._task_q = ctx.Queue()
+        self._out_q = ctx.Queue()
+        ds_bytes = pickle.dumps(self.ds)
+        self._pool = [
+            ctx.Process(
+                target=_proc_worker,
+                args=(ds_bytes, self.seed, self._task_q, self._out_q),
+                daemon=True,
+            )
+            for _ in range(self.workers)
+        ]
+        for p in self._pool:
+            p.start()
+
+    def close(self):
+        """Stop worker processes (daemonic, so also die with the parent)."""
+        if self._pool is not None:
+            for _ in self._pool:
+                self._task_q.put(None)
+            for p in self._pool:
+                p.join(timeout=2)
+                if p.is_alive():
+                    p.terminate()
+            self._pool = None
+
+    def _iter_processes(self, batches):
+        self._ensure_pool()
+        window = self.workers + self.prefetch  # bounded tasks in flight
+        reorder = {}
+        next_submit = next_yield = 0
+        while next_yield < len(batches):
+            while next_submit < len(batches) and next_submit - next_yield < window:
+                self._task_q.put((self.epoch, next_submit, batches[next_submit]))
+                next_submit += 1
+            while next_yield not in reorder:
+                bi, batch, err = self._out_q.get()
+                if err is not None:
+                    raise RuntimeError(f"loader worker failed on batch {bi}: {err}")
+                reorder[bi] = batch
+            yield reorder.pop(next_yield)
+            next_yield += 1
+
     def __iter__(self):
         idx = self._local_indices()
         nb = len(self)
         batches = [idx[i * self.bs : (i + 1) * self.bs] for i in range(nb)]
+
+        if self.use_processes:
+            yield from self._iter_processes(batches)
+            return
 
         out_q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
         stop = threading.Event()

@@ -7,10 +7,23 @@ RFCBAMConv's inference tail (nn/rfa.py, reference models/rfa.py:119-129) is
 where `feat` is the (B, H, W, C, k^2) per-tap feature map. XLA will not fuse
 elementwise producers into a dot operand, so the gated tensor — the same size
 as `feat`, 472 MB for the 80x80 P3 head layer at batch 128 — is materialized
-to HBM and immediately read back by the matmul, and the BN+ReLU epilogue
-costs the output another round trip. On an HBM-bound network (README
-roofline: 82.8 % HBM utilization, 19.8 % MFU) that is ~1.5 GB/batch of pure
-waste across the four RFCBAM head layers.
+to HBM and immediately read back by the matmul. MEASURED (real chip,
+runs/fused_ab/GATED_PROBE_r04.json): the gating adds 1.47 ms to the
+layer-17 tail vs the ungated contraction, ~= the 1.15 ms HBM round-trip of
+the 472 MB tensor at peak bandwidth — the premise is confirmed and its cost
+quantified.
+
+VERDICT (runs/fused_ab/AB_r04.json, real chip, batch 128): this kernel is
+numerically interchangeable with the XLA path (p99 |diff| <= 2.4e-4 on all
+four RFCBAM layers) but SLOWER — geomean 0.652x, and 0.44x/0.49x on the
+strided layers 17/20. The ~1.5 ms the fusion saves is dwarfed by the
+kernel's own pipeline cost: 1024 small grid steps whose (rows, C*k^2) x
+(C*k^2, 128) matmuls leave the MXU underutilized at N=128, plus the fp32
+gate build on the VPU — the same contraction XLA runs in 4.6 ms takes this
+kernel ~15 ms. The measured ceiling for ANY fused kernel here is the 1.5 ms
+gating cost (~6 % of the forward), which bounds how much a better kernel
+could win. XLA therefore stays the production path; this kernel stays
+opt-in (LEADYOLO_FUSED=1) as the reference implementation of the fusion.
 
 This kernel performs the gating in VMEM and feeds the MXU directly: per grid
 step it loads a row block of `feat`, builds the (rows, C*k^2) gate as ONE

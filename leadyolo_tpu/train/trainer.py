@@ -64,6 +64,7 @@ def train(
     batch_size: int = 32,
     img_size: int = 640,
     workers: int = 8,
+    process_workers: bool = False,
     save_dir="runs/train/exp",
     compute_dtype=jnp.bfloat16,
     cos_lr: bool = False,
@@ -132,6 +133,10 @@ def train(
         seed=seed,
         process_index=jax.process_index(),
         process_count=jax.process_count(),
+        # worker processes (reference's N-worker design): removes the GIL
+        # ceiling on multi-core hosts; augmentation costs ~14 ms/sample-core
+        # (runs/input_wall/INPUT_WALL_r04.json)
+        use_processes=process_workers,
     )
     nb = len(dl)  # optimizer steps per epoch
     assert nb > 0, f"batch_size {batch_size} exceeds per-host dataset size {n_local}"
@@ -342,5 +347,6 @@ def train(
             log_fn(f"plotting failed: {e}")
         if multiplex is not None:
             multiplex.close()
+    dl.close()  # stop worker processes if the process-pool loader was used
     callbacks.run("on_train_end")
     return best_fitness, results, save_dir

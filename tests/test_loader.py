@@ -67,3 +67,39 @@ def test_drop_last_and_len():
     ds = ToyDataset(n=10)
     assert len(DataLoader(ds, batch_size=4, drop_last=True)) == 2
     assert len(DataLoader(ds, batch_size=4, drop_last=False)) == 3
+
+
+def test_process_pool_loader_matches_thread_loader(tmp_path):
+    """use_processes=True (the reference's N-worker-process design): same
+    batch order and content as the thread path for a non-augmenting dataset,
+    deterministic across epochs, ordered yield despite worker races."""
+    import cv2
+
+    from leadyolo_tpu.data.datasets import YoloDataset
+
+    img_dir = tmp_path / "images" / "train"
+    lbl_dir = tmp_path / "labels" / "train"
+    img_dir.mkdir(parents=True)
+    lbl_dir.mkdir(parents=True)
+    rng = np.random.default_rng(0)
+    for i in range(12):
+        cv2.imwrite(str(img_dir / f"{i}.png"), rng.integers(0, 256, (80, 80, 3), np.uint8))
+        (lbl_dir / f"{i}.txt").write_text("0 0.5 0.5 0.4 0.4\n")
+
+    def batches(use_processes):
+        ds = YoloDataset(img_dir, img_size=96, augment=False, max_targets=4)
+        dl = DataLoader(ds, batch_size=4, shuffle=True, seed=3, workers=3,
+                        use_processes=use_processes)
+        try:
+            out = [tuple(np.asarray(a).copy() for a in b) for b in dl]
+        finally:
+            dl.close() if use_processes else None
+        return out
+
+    a = batches(False)
+    b = batches(True)
+    assert len(a) == len(b) == 3
+    for (ia, ta, ma), (ib, tb, mb) in zip(a, b):
+        np.testing.assert_array_equal(ia, ib)
+        np.testing.assert_array_equal(ta, tb)
+        np.testing.assert_array_equal(ma, mb)

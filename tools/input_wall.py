@@ -39,6 +39,12 @@ def main():
     ap.add_argument("--batch-size", type=int, default=32)
     ap.add_argument("--batches", type=int, default=20)
     ap.add_argument("--workers", default="4,8,16")
+    ap.add_argument("--tag", default="r04")
+    ap.add_argument(
+        "--step-imgs-per-sec", type=float, default=None,
+        help="measured single-chip train-step consumption (tools/step_rate.py); "
+        "when given, the artifact records the N-chip feeding verdict",
+    )
     args = ap.parse_args()
 
     from leadyolo_tpu.data.datasets import YoloDataset
@@ -58,6 +64,17 @@ def main():
         print(f"train-augment workers={w:>2}: {ips:7.1f} img/s", flush=True)
 
     for w in (int(x) for x in args.workers.split(",")):
+        ds = YoloDataset(data_cfg["train"], img_size=args.imgsz, batch_size=args.batch_size,
+                         augment=True, hyp=hyp)
+        dl = DataLoader(ds, args.batch_size, shuffle=True, workers=w, use_processes=True)
+        try:
+            ips = measure(dl, args.batches)
+        finally:
+            dl.close()
+        rows.append(("train-augment-proc", w, round(ips, 1)))
+        print(f"train-augment-proc workers={w:>2}: {ips:7.1f} img/s", flush=True)
+
+    for w in (int(x) for x in args.workers.split(",")):
         ds = YoloDataset(data_cfg["val"], img_size=args.imgsz, batch_size=args.batch_size,
                          augment=False, rect=False)
         dl = DataLoader(ds, args.batch_size, shuffle=False, workers=w)
@@ -69,6 +86,28 @@ def main():
     print("|---|---|---|")
     for name, w, ips in rows:
         print(f"| {name} | {w} | {ips} |")
+
+    import json
+
+    result = {
+        "imgsz": args.imgsz, "batch_size": args.batch_size, "batches": args.batches,
+        # loader throughput scales with host cores; this container has
+        # os.cpu_count() of them — per-sample ms x cores is the portable metric
+        "host_cpu_count": os.cpu_count(),
+        "rows": [{"path": n, "workers": w, "imgs_per_sec": i} for n, w, i in rows],
+    }
+    best_train = max((i for n, _, i in rows if n.startswith("train-augment")), default=0.0)
+    if args.step_imgs_per_sec:
+        result["step_imgs_per_sec"] = args.step_imgs_per_sec
+        result["chips_fed_at_best_train_rate"] = round(best_train / args.step_imgs_per_sec, 2)
+        print(f"\nfeeding verdict: loader {best_train} img/s / step {args.step_imgs_per_sec} "
+              f"img/s/chip = {result['chips_fed_at_best_train_rate']} chips fed from one host")
+    out = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                       "runs", "input_wall", f"INPUT_WALL_{args.tag}.json")
+    os.makedirs(os.path.dirname(out), exist_ok=True)
+    with open(out, "w") as f:
+        json.dump(result, f, indent=1)
+    print(f"wrote {out}")
 
 
 if __name__ == "__main__":
