@@ -42,16 +42,16 @@ def _proc_worker(ds_bytes: bytes, seed: int, task_q, out_q):
         task = task_q.get()
         if task is None:
             return
-        epoch, bi, idxs = task
+        gen, epoch, bi, idxs = task
         # deterministic augmentation independent of which worker runs the
         # batch (the thread path mutates one shared rng; here each batch
         # owns a stream keyed by (seed, epoch, batch))
         ds.rng = random.Random((seed * 1_000_003 + epoch) * 1_000_003 + bi)
         try:
             samples = [ds[i] for i in idxs]
-            out_q.put((bi, ds.collate(samples), None))
+            out_q.put((gen, bi, ds.collate(samples), None))
         except Exception as e:  # surface the error in the parent, keep serving
-            out_q.put((bi, None, repr(e)))
+            out_q.put((gen, bi, None, repr(e)))
 
 
 class DataLoader:
@@ -142,15 +142,30 @@ class DataLoader:
 
     def _iter_processes(self, batches):
         self._ensure_pool()
+        # generation counter: results from an abandoned earlier iteration
+        # (a consumer that broke out mid-epoch) still sitting in out_q must
+        # not be mistaken for this epoch's batches
+        self._gen = getattr(self, "_gen", 0) + 1
         window = self.workers + self.prefetch  # bounded tasks in flight
         reorder = {}
         next_submit = next_yield = 0
         while next_yield < len(batches):
             while next_submit < len(batches) and next_submit - next_yield < window:
-                self._task_q.put((self.epoch, next_submit, batches[next_submit]))
+                self._task_q.put((self._gen, self.epoch, next_submit, batches[next_submit]))
                 next_submit += 1
             while next_yield not in reorder:
-                bi, batch, err = self._out_q.get()
+                try:
+                    gen, bi, batch, err = self._out_q.get(timeout=120)
+                except queue.Empty:
+                    dead = [p.pid for p in self._pool if not p.is_alive()]
+                    if dead:
+                        raise RuntimeError(
+                            f"loader worker process(es) {dead} died (OOM/kill?); "
+                            "restart the loader or lower workers"
+                        ) from None
+                    continue  # workers alive, batch is just slow
+                if gen != self._gen:
+                    continue  # stale result from an abandoned iteration
                 if err is not None:
                     raise RuntimeError(f"loader worker failed on batch {bi}: {err}")
                 reorder[bi] = batch

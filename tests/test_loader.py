@@ -103,3 +103,32 @@ def test_process_pool_loader_matches_thread_loader(tmp_path):
         np.testing.assert_array_equal(ia, ib)
         np.testing.assert_array_equal(ta, tb)
         np.testing.assert_array_equal(ma, mb)
+
+
+def test_process_pool_loader_discards_stale_after_abandoned_iter(tmp_path):
+    """Breaking out of an epoch mid-iteration must not leak that epoch's
+    batches into the next one (generation tagging)."""
+    import cv2
+
+    from leadyolo_tpu.data.datasets import YoloDataset
+
+    img_dir = tmp_path / "images" / "train"
+    lbl_dir = tmp_path / "labels" / "train"
+    img_dir.mkdir(parents=True)
+    lbl_dir.mkdir(parents=True)
+    rng = np.random.default_rng(1)
+    for i in range(12):
+        cv2.imwrite(str(img_dir / f"{i}.png"), np.full((64, 64, 3), i * 20, np.uint8))
+        (lbl_dir / f"{i}.txt").write_text("0 0.5 0.5 0.4 0.4\n")
+    ds = YoloDataset(img_dir, img_size=64, augment=False, max_targets=4)
+    dl = DataLoader(ds, batch_size=4, shuffle=True, seed=0, workers=2, use_processes=True)
+    try:
+        it = iter(dl)
+        first = next(it)  # abandon after one batch; tasks for 2 more in flight
+        del it
+        full = [b[0].copy() for b in dl]  # fresh iteration, same epoch seed
+        ref_first = first[0]
+        np.testing.assert_array_equal(full[0], ref_first)  # deterministic restart
+        assert len(full) == 3
+    finally:
+        dl.close()
