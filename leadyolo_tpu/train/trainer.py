@@ -258,6 +258,15 @@ def train(
             k: float(np.mean([np.asarray(m[k]) for m in epoch_metrics])) for k in ("box", "obj", "cls")
         }
         lr_now = float(np.asarray(epoch_metrics[-1]["lr"])) if epoch_metrics else 0.0
+        # Per-epoch GC: on the remote-tunnel backend, per-dispatch host/device
+        # buffer handles accumulate ~1.8 GB/epoch if left to Python's lazy
+        # cycle collector (a 73-epoch run was OOM-killed at 130 GB RSS);
+        # collecting each epoch frees them promptly. For bounded-memory runs
+        # regardless, use tools/chunked_train.sh (checkpoint-resume chunks).
+        epoch_metrics.clear()
+        import gc
+
+        gc.collect()
 
         fi = 0.0
         stop = False
