@@ -19,14 +19,63 @@ from ..train.trainer import resolve_data
 from .export import EXPORTERS, export_formats, run as export_run
 
 
-def run(weights, data="ssdd", cfg="lead-yolo", imgsz=640, batch=1, hard_fail=None,
-        out_dir="runs/benchmarks", n_eval=None, int8=False):
+def evaluate_artifact(art, data_cfg, ds, n_eval, cfg="lead-yolo", imgsz=640, batch=1):
+    """Full-split mAP + latency of one exported artifact through MultiBackend.
+
+    The single eval contract for the sweep (here) AND tools/int8_sweep.py —
+    one implementation so the int8 quality numbers and the benchmark gate
+    can never drift apart.  Returns {"map50", "map5095", "ms_per_img"}.
+    """
+    import time as _time
+
+    import jax.numpy as jnp
+    import numpy as np
+
     from ..models.backend import MultiBackend
     from ..ops.metrics import ap_per_class, process_batch
     from ..ops.nms import non_max_suppression
+
+    iouv = np.linspace(0.5, 0.95, 10)
+    backend = MultiBackend(art, cfg=cfg, nc=data_cfg["nc"], img_size=imgsz)
+    backend.warmup((batch, imgsz, imgsz, 3))
+    stats = []
+    t_total = 0.0
+    for i in range(0, n_eval, batch):
+        ims, lbs = zip(*(ds[j] for j in range(i, min(i + batch, n_eval))))
+        x = np.stack(ims)
+        if len(x) < batch:
+            x = np.concatenate([x, np.zeros((batch - len(x),) + x.shape[1:], x.dtype)])
+        t0 = _time.perf_counter()
+        preds = backend.forward(x)
+        t_total += _time.perf_counter() - t0
+        det, valid, _ = non_max_suppression(
+            jnp.asarray(preds[: len(ims)], jnp.float32), conf_thres=0.001, iou_thres=0.6,
+            multi_label=data_cfg["nc"] > 1, max_det=300, nc=data_cfg["nc"],
+        )
+        det, valid = np.asarray(det), np.asarray(valid)
+        for k, lb in enumerate(lbs):
+            d = det[k][valid[k]]
+            tb = np.zeros((len(lb), 5), np.float32)
+            if len(lb):
+                tb[:, 0] = lb[:, 0]
+                cx, cy, w, h = (lb[:, 1] * imgsz, lb[:, 2] * imgsz, lb[:, 3] * imgsz, lb[:, 4] * imgsz)
+                tb[:, 1:] = np.stack([cx - w / 2, cy - h / 2, cx + w / 2, cy + h / 2], 1)
+            stats.append((process_batch(d, tb, iouv), d[:, 4], d[:, 5], tb[:, 0]))
+    tp = np.concatenate([s[0] for s in stats])
+    conf = np.concatenate([s[1] for s in stats])
+    pc = np.concatenate([s[2] for s in stats])
+    tc = np.concatenate([s[3] for s in stats])
+    m = ap_per_class(tp, conf, pc, tc) if len(tc) else None
+    return {
+        "map50": float(m["ap"][:, 0].mean()) if m is not None else 0.0,
+        "map5095": float(m["ap_mean"].mean()) if m is not None else 0.0,
+        "ms_per_img": t_total / n_eval * 1000,
+    }
+
+
+def run(weights, data="ssdd", cfg="lead-yolo", imgsz=640, batch=1, hard_fail=None,
+        out_dir="runs/benchmarks", n_eval=None, int8=False):
     from ..data.datasets import YoloDataset
-    import jax.numpy as jnp
-    import jax
 
     data_cfg = resolve_data(data)
     rows = []
@@ -60,43 +109,11 @@ def run(weights, data="ssdd", cfg="lead-yolo", imgsz=640, batch=1, hard_fail=Non
     # default: the FULL val split (the reference's benchmarks.py:52-113 runs
     # full-split val per format); n_eval subsets only when asked
     n_eval = len(ds) if n_eval is None else min(n_eval, len(ds))
-    iouv = np.linspace(0.5, 0.95, 10)
 
     for fmt, art in artifacts.items():
         try:
-            backend = MultiBackend(art, cfg=cfg, nc=data_cfg["nc"], img_size=imgsz)
-            backend.warmup((batch, imgsz, imgsz, 3))
-            stats = []
-            t_total = 0.0
-            for i in range(0, n_eval, batch):
-                ims, lbs = zip(*(ds[j] for j in range(i, min(i + batch, n_eval))))
-                x = np.stack(ims)
-                if len(x) < batch:
-                    x = np.concatenate([x, np.zeros((batch - len(x),) + x.shape[1:], x.dtype)])
-                t0 = time.perf_counter()
-                preds = backend.forward(x)
-                t_total += time.perf_counter() - t0
-                det, valid, _ = non_max_suppression(
-                    jnp.asarray(preds[: len(ims)], jnp.float32), conf_thres=0.001, iou_thres=0.6,
-                    multi_label=data_cfg["nc"] > 1, max_det=300, nc=data_cfg["nc"],
-                )
-                det, valid = np.asarray(det), np.asarray(valid)
-                for k, lb in enumerate(lbs):
-                    d = det[k][valid[k]]
-                    tb = np.zeros((len(lb), 5), np.float32)
-                    if len(lb):
-                        tb[:, 0] = lb[:, 0]
-                        cx, cy, w, h = (lb[:, 1] * imgsz, lb[:, 2] * imgsz, lb[:, 3] * imgsz, lb[:, 4] * imgsz)
-                        tb[:, 1:] = np.stack([cx - w / 2, cy - h / 2, cx + w / 2, cy + h / 2], 1)
-                    stats.append((process_batch(d, tb, iouv), d[:, 4], d[:, 5], tb[:, 0]))
-            tp = np.concatenate([s[0] for s in stats])
-            conf = np.concatenate([s[1] for s in stats])
-            pc = np.concatenate([s[2] for s in stats])
-            tc = np.concatenate([s[3] for s in stats])
-            m = ap_per_class(tp, conf, pc, tc) if len(tc) else None
-            map5095 = float(m["ap_mean"].mean()) if m else 0.0
-            ms = t_total / n_eval * 1000
-            rows.append((fmt, str(art), round(map5095, 4), round(ms, 2)))
+            r = evaluate_artifact(art, data_cfg, ds, n_eval, cfg=cfg, imgsz=imgsz, batch=batch)
+            rows.append((fmt, str(art), round(r["map5095"], 4), round(r["ms_per_img"], 2)))
         except Exception as e:
             rows.append((fmt, str(art), None, None))
             print(f"benchmark {fmt}: FAILED ({e})")

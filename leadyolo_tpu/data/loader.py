@@ -54,6 +54,20 @@ def _proc_worker(ds_bytes: bytes, seed: int, task_q, out_q):
             out_q.put((gen, bi, None, repr(e)))
 
 
+def _shutdown_pool(pool, task_q):
+    """Terminate worker processes; module-level so weakref.finalize can hold
+    it without keeping the DataLoader alive."""
+    for _ in pool:
+        try:
+            task_q.put_nowait(None)
+        except Exception:
+            break
+    for p in pool:
+        p.join(timeout=2)
+        if p.is_alive():
+            p.terminate()
+
+
 class DataLoader:
     """Iterates fixed-shape (images, targets, tmask) numpy batches."""
 
@@ -89,7 +103,22 @@ class DataLoader:
         --image-weights mAP-deficit sampling, train.py:275-278)."""
         self.weights = None if weights is None else np.asarray(weights, np.float64)
 
+    def _rect_batches(self):
+        """Whole aspect-ratio buckets per batch (dataset rows are sorted and
+        grouped by `batch_index`); multi-host sharding hands out whole
+        batches, never strided rows — a strided slice would mix buckets with
+        different canvas shapes in one batch and break collate's np.stack."""
+        n = len(self.ds)
+        nb = n // self.bs if self.drop_last else (n + self.bs - 1) // self.bs
+        batches = [list(range(i * self.bs, min((i + 1) * self.bs, n))) for i in range(nb)]
+        return batches[self.process_index :: self.process_count]
+
+    def _is_rect(self):
+        return getattr(self.ds, "batch_shapes", None) is not None
+
     def __len__(self):
+        if self._is_rect():
+            return len(self._rect_batches())
         n = len(self._local_indices())
         return n // self.bs if self.drop_last else (n + self.bs - 1) // self.bs
 
@@ -114,6 +143,11 @@ class DataLoader:
     def _ensure_pool(self):
         if self._pool is not None:
             return
+        if self.workers < 1:
+            raise ValueError(
+                f"use_processes=True needs workers >= 1 (got {self.workers}); "
+                "use the thread path for in-process loading"
+            )
         ctx = mp.get_context("spawn")
         self._task_q = ctx.Queue()
         self._out_q = ctx.Queue()
@@ -128,16 +162,21 @@ class DataLoader:
         ]
         for p in self._pool:
             p.start()
+        # If the loader is abandoned without close() (e.g. an exception
+        # unwinds past the trainer), reclaim the workers at GC instead of
+        # leaking a fleet per retry in long-lived parent processes
+        import weakref
+
+        self._finalizer = weakref.finalize(self, _shutdown_pool, self._pool, self._task_q)
 
     def close(self):
         """Stop worker processes (daemonic, so also die with the parent)."""
         if self._pool is not None:
-            for _ in self._pool:
-                self._task_q.put(None)
-            for p in self._pool:
-                p.join(timeout=2)
-                if p.is_alive():
-                    p.terminate()
+            f = getattr(self, "_finalizer", None)
+            if f is not None:
+                f()  # runs _shutdown_pool exactly once
+            else:
+                _shutdown_pool(self._pool, self._task_q)
             self._pool = None
 
     def _iter_processes(self, batches):
@@ -173,9 +212,14 @@ class DataLoader:
             next_yield += 1
 
     def __iter__(self):
-        idx = self._local_indices()
-        nb = len(self)
-        batches = [idx[i * self.bs : (i + 1) * self.bs] for i in range(nb)]
+        if self._is_rect():
+            if self.weights is not None:
+                raise ValueError("rect bucketing is incompatible with weighted sampling")
+            batches = self._rect_batches()
+        else:
+            idx = self._local_indices()
+            nb = len(self)
+            batches = [idx[i * self.bs : (i + 1) * self.bs] for i in range(nb)]
 
         if self.use_processes:
             yield from self._iter_processes(batches)

@@ -100,6 +100,11 @@ def train(
 
     if rect and multi_scale:
         raise ValueError("--rect and --multi-scale are mutually exclusive (reference train.py:230)")
+    if rect and image_weights:
+        # weighted sampling reorders rows across aspect buckets, which would
+        # mix canvas shapes within a batch (the reference's --image-weights
+        # path likewise assumes square training)
+        raise ValueError("--rect and --image-weights are mutually exclusive")
     ds = YoloDataset(
         data_cfg["train"], img_size=img_size, augment=True, hyp=hyp, max_targets=max_targets, seed=seed,
         rect=rect, batch_size=batch_size,

@@ -12,6 +12,7 @@
 set -u
 SAVE_DIR=$1; TARGET=$2; CHUNK=$3; shift 3
 cd "$(dirname "$0")/.."
+PREV=-2
 while true; do
   EPOCH=$(python - "$SAVE_DIR" <<'EOF'
 import json, sys, os
@@ -24,10 +25,20 @@ EOF
     echo "[chunked_train] target reached"
     exit 0
   fi
+  if [ "$EPOCH" -le "$PREV" ]; then
+    # a chunk made zero epoch progress (e.g. killed before its first
+    # checkpoint): relaunching the identical chunk would spin forever
+    echo "[chunked_train] no progress since last chunk (epoch $EPOCH); aborting"
+    exit 1
+  fi
+  PREV=$EPOCH
+  RESUME=()
+  [ -f "$SAVE_DIR/last.ckpt" ] && RESUME=(--resume "$SAVE_DIR/last.ckpt")
   timeout "$CHUNK" python train.py --save-dir "$SAVE_DIR" \
-    --resume "$SAVE_DIR/last.ckpt" --epochs "$TARGET" "$@"
+    "${RESUME[@]}" --epochs "$TARGET" "$@"
   RC=$?
-  # 124 = chunk wall-clock cap (expected); anything else but 0 is a real error
+  # 124 = chunk wall-clock cap, 137 = OOM/SIGKILL (progress check above
+  # catches a kill loop); anything else but 0 is a real error
   if [ "$RC" -ne 124 ] && [ "$RC" -ne 0 ] && [ "$RC" -ne 137 ]; then
     echo "[chunked_train] train.py failed rc=$RC"; exit "$RC"
   fi

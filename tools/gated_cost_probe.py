@@ -34,27 +34,7 @@ import numpy as np
 from jax import lax
 
 
-def loop_time(fn, args, iters=30):
-    """Single-dispatch: jitted fori_loop over 2 alternating input sets."""
-
-    def perturb(a):
-        return a + jnp.asarray(1e-3, a.dtype) if jnp.issubdtype(a.dtype, jnp.inexact) else a
-
-    xs = jax.tree.map(lambda a: jnp.stack([a, perturb(a)]), args)
-
-    @jax.jit
-    def lp(xs, it):
-        def body(i, acc):
-            cur = jax.tree.map(lambda s: lax.dynamic_index_in_dim(s, i % 2, 0, keepdims=False), xs)
-            out = fn(*cur)
-            return acc + jnp.sum(out.astype(jnp.float32)) * 1e-9
-
-        return lax.fori_loop(0, it, body, jnp.float32(0.0))
-
-    float(lp(xs, 1))
-    t0 = time.perf_counter()
-    float(lp(xs, iters))
-    return (time.perf_counter() - t0) / iters
+from leadyolo_tpu.utils.devicetime import loop_time  # single-dispatch timing
 
 
 def main():

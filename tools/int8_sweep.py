@@ -30,52 +30,19 @@ import numpy as np
 
 
 def evaluate(artifact, data_cfg, imgsz=640, n_eval=None, batch=1):
-    import jax.numpy as jnp
-
+    """Thin wrapper over the benchmark sweep's eval contract — ONE shared
+    implementation (cli/benchmarks.evaluate_artifact) so the int8 quality
+    numbers can never drift from the gate that consumes them."""
+    from leadyolo_tpu.cli.benchmarks import evaluate_artifact
     from leadyolo_tpu.data.datasets import YoloDataset
-    from leadyolo_tpu.models.backend import MultiBackend
-    from leadyolo_tpu.ops.metrics import ap_per_class, process_batch
-    from leadyolo_tpu.ops.nms import non_max_suppression
 
     ds = YoloDataset(data_cfg["val"], img_size=imgsz, augment=False, max_targets=128)
     n_eval = len(ds) if not n_eval else min(n_eval, len(ds))
-    iouv = np.linspace(0.5, 0.95, 10)
-    backend = MultiBackend(artifact, nc=data_cfg["nc"], img_size=imgsz)
-    backend.warmup((batch, imgsz, imgsz, 3))
-    stats = []
-    t_total = 0.0
-    for i in range(0, n_eval, batch):
-        ims, lbs = zip(*(ds[j] for j in range(i, min(i + batch, n_eval))))
-        x = np.stack(ims)
-        if len(x) < batch:
-            x = np.concatenate([x, np.zeros((batch - len(x),) + x.shape[1:], x.dtype)])
-        t0 = time.perf_counter()
-        preds = backend.forward(x)
-        t_total += time.perf_counter() - t0
-        det, valid, _ = non_max_suppression(
-            jnp.asarray(preds[: len(ims)], jnp.float32), conf_thres=0.001, iou_thres=0.6,
-            multi_label=data_cfg["nc"] > 1, max_det=300, nc=data_cfg["nc"],
-        )
-        det, valid = np.asarray(det), np.asarray(valid)
-        for k, lb in enumerate(lbs):
-            d = det[k][valid[k]]
-            tb = np.zeros((len(lb), 5), np.float32)
-            if len(lb):
-                tb[:, 0] = lb[:, 0]
-                cx, cy, w, h = (lb[:, 1] * imgsz, lb[:, 2] * imgsz, lb[:, 3] * imgsz, lb[:, 4] * imgsz)
-                tb[:, 1:] = np.stack([cx - w / 2, cy - h / 2, cx + w / 2, cy + h / 2], 1)
-            stats.append((process_batch(d, tb, iouv), d[:, 4], d[:, 5], tb[:, 0]))
-    tp = np.concatenate([s[0] for s in stats])
-    conf = np.concatenate([s[1] for s in stats])
-    pc = np.concatenate([s[2] for s in stats])
-    tc = np.concatenate([s[3] for s in stats])
-    m = ap_per_class(tp, conf, pc, tc) if len(tc) else None
-    map50 = float(m["ap"][:, 0].mean()) if m is not None else 0.0
-    map5095 = float(m["ap_mean"].mean()) if m is not None else 0.0
+    r = evaluate_artifact(artifact, data_cfg, ds, n_eval, imgsz=imgsz, batch=batch)
     return dict(
-        map50=round(map50, 4),
-        map5095=round(map5095, 4),
-        ms_per_img=round(t_total / n_eval * 1000, 1),
+        map50=round(r["map50"], 4),
+        map5095=round(r["map5095"], 4),
+        ms_per_img=round(r["ms_per_img"], 1),
         n_eval=n_eval,
         size_mb=round(os.path.getsize(artifact) / 1e6, 2),
     )
@@ -127,7 +94,7 @@ def main():
     ]
     for mode, r in rows.items():
         if "error" in r:
-            lines.append(f"| {mode} | — | — | — | — | {r['error']} |")
+            lines.append(f"| {mode} (failed: {r['error']}) | — | — | — | — |")
         else:
             lines.append(
                 f"| {mode} | {r['map50']} | {r['map5095']} | {r['ms_per_img']} | {r['size_mb']} |"

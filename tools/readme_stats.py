@@ -25,13 +25,9 @@ def collect_counts():
             cwd=REPO, capture_output=True, text=True,
         )
         for line in reversed(out.stdout.strip().splitlines()):
-            m = re.search(r"(\d+)(?:/(\d+))? tests? collected", line) or re.search(
-                r"(\d+) tests collected", line
-            )
+            # pytest -q prints "N tests collected" or "N/M tests collected"
+            m = re.search(r"(\d+)(?:/\d+)? tests? collected", line)
             if m:
-                return int(m.group(1))
-            m = re.search(r"(\d+) (?:selected|deselected)", line)
-            if m and "deselected" not in line:
                 return int(m.group(1))
         raise RuntimeError(f"cannot parse pytest collect output:\n{out.stdout[-500:]}")
 

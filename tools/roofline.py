@@ -51,33 +51,13 @@ def sync(out):
 
 
 def time_jit(fn, *args, iters=15):
-    """Single-dispatch per-call seconds (bench.py round-4 design): a jitted
-    `lax.fori_loop` runs `iters` calls back-to-back on device over TWO
-    alternating copies of the input (the loop-counter-dependent index defeats
-    both DCE and loop-invariant code motion), timed dispatch->drain as ONE
-    call. Pipelined multi-dispatch timing was observed to disagree with this
-    by up to 1.6x through the axon tunnel; this is the defensible number."""
-    from jax import lax
+    """Single-dispatch per-call seconds (bench.py round-4 design; see
+    leadyolo_tpu/utils/devicetime.py for the DCE/LICM rationale). Pipelined
+    multi-dispatch timing was observed to disagree with this by up to 1.6x
+    through the axon tunnel; this is the defensible number."""
+    from leadyolo_tpu.utils.devicetime import loop_time
 
-    def perturb(a, eps):
-        # second copy differs numerically so no conceivable value-level CSE
-        return a + jnp.asarray(eps, a.dtype) if jnp.issubdtype(a.dtype, jnp.inexact) else a
-
-    xs = jax.tree.map(lambda a: jnp.stack([a, perturb(a, 1e-3)]), args)
-
-    @jax.jit
-    def lp(xs, it):
-        def body(i, acc):
-            cur = jax.tree.map(lambda s: lax.dynamic_index_in_dim(s, i % 2, 0, keepdims=False), xs)
-            out = fn(*cur)
-            return acc + jnp.sum(jax.tree.leaves(out)[0].astype(jnp.float32)) * 1e-9
-
-        return lax.fori_loop(0, it, body, jnp.float32(0.0))
-
-    float(lp(xs, 1))  # compile + settle (host readback = the only real sync)
-    t0 = time.perf_counter()
-    float(lp(xs, iters))
-    return None, (time.perf_counter() - t0) / iters
+    return None, loop_time(fn, args, iters=iters)
 
 
 def cost(f, *args):
