@@ -170,10 +170,11 @@ def export_tflite(model, variables, img_size=640, batch=1, out="model.tflite", i
                      recovers most of the 8x8 accuracy loss because the
                      activation grid is 256x finer; not EdgeTPU-compatible.
       "8x8-split"  — full-integer backbone+heads, decode OUTSIDE the
-                     quantized graph: the artifact emits the raw per-scale
-                     head maps (sigmoid-space) and MultiBackend decodes in
-                     float at load. Removes the shared-output-scale problem
-                     entirely — boxes never pass through a quantizer.
+                     quantized graph: the artifact emits the raw PRE-sigmoid
+                     per-scale head maps (B, ny, nx, na, no) and MultiBackend
+                     applies sigmoid + decode in float at load. Removes the
+                     shared-output-scale problem entirely — boxes never pass
+                     through a quantizer.
     """
     import tensorflow as tf
 
@@ -184,7 +185,8 @@ def export_tflite(model, variables, img_size=640, batch=1, out="model.tflite", i
     if split:
         def raw_fn(images):
             x = images.astype(jnp.float32) / 255.0
-            # raw per-scale maps (B, ny, nx, na*no) BEFORE sigmoid: their
+            # raw per-scale maps (B, ny, nx, na, no) BEFORE sigmoid (logits;
+            # MultiBackend.decode_predictions owns the sigmoid): their
             # dynamic range is modest and zero-centered, ideal for int8
             return tuple(model.apply(variables, x, train=False, decode=False))
 

@@ -107,10 +107,20 @@ class DataLoader:
         """Whole aspect-ratio buckets per batch (dataset rows are sorted and
         grouped by `batch_index`); multi-host sharding hands out whole
         batches, never strided rows — a strided slice would mix buckets with
-        different canvas shapes in one batch and break collate's np.stack."""
+        different canvas shapes in one batch and break collate's np.stack.
+
+        The batch list is padded (wrap-around repeat, DistributedSampler's
+        padding rule, reference utils/dataloaders.py:141) to a multiple of
+        process_count so every host yields the SAME number of batches per
+        epoch — an uneven split would leave one host blocking in a per-step
+        psum its peers never join."""
         n = len(self.ds)
         nb = n // self.bs if self.drop_last else (n + self.bs - 1) // self.bs
         batches = [list(range(i * self.bs, min((i + 1) * self.bs, n))) for i in range(nb)]
+        if self.process_count > 1 and batches:
+            rem = len(batches) % self.process_count
+            if rem:
+                batches = batches + batches[: self.process_count - rem]
         return batches[self.process_index :: self.process_count]
 
     def _is_rect(self):
@@ -151,11 +161,11 @@ class DataLoader:
         ctx = mp.get_context("spawn")
         self._task_q = ctx.Queue()
         self._out_q = ctx.Queue()
-        ds_bytes = pickle.dumps(self.ds)
+        self._ds_bytes = pickle.dumps(self.ds)
         self._pool = [
             ctx.Process(
                 target=_proc_worker,
-                args=(ds_bytes, self.seed, self._task_q, self._out_q),
+                args=(self._ds_bytes, self.seed, self._task_q, self._out_q),
                 daemon=True,
             )
             for _ in range(self.workers)
@@ -179,6 +189,31 @@ class DataLoader:
                 _shutdown_pool(self._pool, self._task_q)
             self._pool = None
 
+    def _revive_dead_workers(self, reorder, next_yield, next_submit, batches):
+        """Replace dead workers and resubmit their possibly-lost batches.
+
+        A worker that dies mid-batch (OOM-kill) takes its task with it; the
+        parent can't know which task was lost, so it resubmits every
+        outstanding batch not yet received. Duplicates from tasks still being
+        chewed by live workers are harmless — reorder is keyed by batch index.
+        Returns the number of workers revived (0 = fleet healthy)."""
+        dead = [i for i, p in enumerate(self._pool) if not p.is_alive()]
+        if not dead:
+            return 0
+        ctx = mp.get_context("spawn")
+        for i in dead:
+            p = ctx.Process(
+                target=_proc_worker,
+                args=(self._ds_bytes, self.seed, self._task_q, self._out_q),
+                daemon=True,
+            )
+            p.start()
+            self._pool[i] = p  # mutate in place: the GC finalizer holds this list
+        for bi in range(next_yield, next_submit):
+            if bi not in reorder:
+                self._task_q.put((self._gen, self.epoch, bi, batches[bi]))
+        return len(dead)
+
     def _iter_processes(self, batches):
         self._ensure_pool()
         # generation counter: results from an abandoned earlier iteration
@@ -188,21 +223,25 @@ class DataLoader:
         window = self.workers + self.prefetch  # bounded tasks in flight
         reorder = {}
         next_submit = next_yield = 0
+        revived = 0
         while next_yield < len(batches):
             while next_submit < len(batches) and next_submit - next_yield < window:
                 self._task_q.put((self._gen, self.epoch, next_submit, batches[next_submit]))
                 next_submit += 1
             while next_yield not in reorder:
+                # liveness check on EVERY wait, not only after a long silence:
+                # one dead worker among live producers keeps out_q busy, so a
+                # timeout alone would never notice the lost batch
+                revived += self._revive_dead_workers(reorder, next_yield, next_submit, batches)
+                if revived > 3 * self.workers:
+                    raise RuntimeError(
+                        f"loader workers keep dying ({revived} revivals this epoch; "
+                        "OOM/kill?) — lower workers or batch size"
+                    )
                 try:
-                    gen, bi, batch, err = self._out_q.get(timeout=120)
+                    gen, bi, batch, err = self._out_q.get(timeout=5)
                 except queue.Empty:
-                    dead = [p.pid for p in self._pool if not p.is_alive()]
-                    if dead:
-                        raise RuntimeError(
-                            f"loader worker process(es) {dead} died (OOM/kill?); "
-                            "restart the loader or lower workers"
-                        ) from None
-                    continue  # workers alive, batch is just slow
+                    continue  # loop re-checks liveness, resubmits if needed
                 if gen != self._gen:
                     continue  # stale result from an abandoned iteration
                 if err is not None:

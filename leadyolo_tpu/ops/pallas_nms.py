@@ -107,11 +107,11 @@ def greedy_suppress_pallas(boxes, active, iou_thres: float = 0.45, tile: int = 2
         functools.partial(_nms_kernel, iou_thres=iou_thres, tile=tile),
         out_shape=jax.ShapeDtypeStruct((k, 1), jnp.int32),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY if interpret else pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.ANY if interpret else pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.ANY if interpret else pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY if interpret else pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY if interpret else pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY if interpret else pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec(memory_space=pltpu.ANY if interpret else pltpu.VMEM),
+        out_specs=pl.BlockSpec(memory_space=pl.ANY if interpret else pltpu.VMEM),
         interpret=interpret,
     )(boxes, boxes.T, active.astype(jnp.int32)[:, None])
     return out[:, 0] != 0

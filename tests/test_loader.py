@@ -53,6 +53,29 @@ def test_process_sharding_disjoint():
     assert len(s0) + len(s1) == 20
 
 
+def test_rect_batches_equal_per_process():
+    """Rect mode must hand every host the SAME number of (whole-bucket)
+    batches — an uneven split would strand one host in a psum its peers
+    never join. 20 imgs / bs 2 = 10 batches over 3 hosts: padded to 12."""
+    ds = ToyDataset(n=20)
+    ds.batch_shapes = [(8, 8)] * 10  # marks the dataset as rect-bucketed
+    lens = []
+    for pi in range(3):
+        dl = DataLoader(ds, batch_size=2, shuffle=False, workers=1,
+                        process_index=pi, process_count=3)
+        lens.append(len(dl._rect_batches()))
+    assert lens == [4, 4, 4]
+    # padding wraps around to the first buckets, never invents indices
+    flat = [i for pi in range(3)
+            for b in DataLoader(ds, batch_size=2, shuffle=False, workers=1,
+                                process_index=pi, process_count=3)._rect_batches()
+            for i in b]
+    assert set(flat) == set(range(20))
+    # single host: unchanged, no padding
+    solo = DataLoader(ds, batch_size=2, shuffle=False, workers=1)
+    assert len(solo._rect_batches()) == 10
+
+
 def test_weighted_sampling_biases():
     ds = ToyDataset()
     dl = DataLoader(ds, batch_size=4, seed=0, workers=1)
@@ -103,6 +126,39 @@ def test_process_pool_loader_matches_thread_loader(tmp_path):
         np.testing.assert_array_equal(ia, ib)
         np.testing.assert_array_equal(ta, tb)
         np.testing.assert_array_equal(ma, mb)
+
+
+def test_process_pool_loader_survives_worker_death(tmp_path):
+    """Killing a worker mid-epoch must not hang or lose a batch: liveness is
+    checked on every wait, the dead worker is replaced in place, and every
+    outstanding batch is resubmitted."""
+    import cv2
+
+    from leadyolo_tpu.data.datasets import YoloDataset
+
+    img_dir = tmp_path / "images" / "train"
+    lbl_dir = tmp_path / "labels" / "train"
+    img_dir.mkdir(parents=True)
+    lbl_dir.mkdir(parents=True)
+    for i in range(24):
+        cv2.imwrite(str(img_dir / f"{i}.png"), np.full((64, 64, 3), i * 10, np.uint8))
+        (lbl_dir / f"{i}.txt").write_text("0 0.5 0.5 0.4 0.4\n")
+    ds = YoloDataset(img_dir, img_size=64, augment=False, max_targets=4)
+    dl = DataLoader(ds, batch_size=4, shuffle=True, seed=0, workers=2, use_processes=True)
+    try:
+        it = iter(dl)
+        got = [next(it)]
+        dl._pool[0].terminate()  # SIGTERM one worker, possibly mid-batch
+        dl._pool[0].join()
+        got.extend(it)  # must complete all 6 batches, not hang or raise
+        assert len(got) == 6
+        assert all(p.is_alive() for p in dl._pool)  # fleet revived in place
+        # batches are the same the healthy path would have produced
+        healthy = list(DataLoader(ds, batch_size=4, shuffle=True, seed=0, workers=2))
+        for (ia, ta, ma), (ib, tb, mb) in zip(got, healthy):
+            np.testing.assert_array_equal(np.asarray(ia), ib)
+    finally:
+        dl.close()
 
 
 def test_process_pool_loader_discards_stale_after_abandoned_iter(tmp_path):

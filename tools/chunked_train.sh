@@ -42,4 +42,12 @@ EOF
   if [ "$RC" -ne 124 ] && [ "$RC" -ne 0 ] && [ "$RC" -ne 137 ]; then
     echo "[chunked_train] train.py failed rc=$RC"; exit "$RC"
   fi
+  if [ "$RC" -eq 0 ]; then
+    # trainer exited cleanly before TARGET: --patience early stopping (or the
+    # target itself, caught at loop top). A clean finish is success — without
+    # this, the unchanged checkpoint epoch would trip the no-progress guard
+    # and report a successful run as a failure.
+    echo "[chunked_train] trainer completed cleanly at epoch $EPOCH (early stop or target)"
+    exit 0
+  fi
 done

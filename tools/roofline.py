@@ -7,7 +7,7 @@ bench batch 128) and reports:
   - ms_attributed: the layer's share of the MEASURED full forward,
     attributed by its roofline-model time max(flops/peak, bytes/bw) — the
     per-layer sum equals full_fwd_ms, unlike isolated timings
-  - ms_isolated: a standalone jitted timing (includes per-dispatch tunnel
+  - ms_isolated_dispatch_incl: a standalone jitted timing (includes per-dispatch tunnel
     overhead — reported for reference, never summed)
   - MFU / HBM utilization against the attributed time
   - arithmetic intensity vs the ridge point -> compute- or bandwidth-bound
@@ -159,7 +159,7 @@ def main():
         t_model = max(fl / peak_flops, by / peak_bw)
         rows.append({
             "i": i, "module": type(m).__name__, "from": f if isinstance(f, int) else list(f),
-            "ms_isolated": round(t * 1e3, 3),
+            "ms_isolated_dispatch_incl": round(t * 1e3, 3),
             "ms_model": round(t_model * 1e3, 3),
             "gflops": round(fl / 1e9, 2), "gbytes": round(by / 1e9, 3),
             "intensity": round(ai, 1),
@@ -168,7 +168,7 @@ def main():
 
     # In-graph attribution (round-3 verdict: isolated per-layer timings
     # include per-dispatch tunnel overhead and sum to ~8x the real forward;
-    # they are kept as ms_isolated but must not be summed). Each layer's
+    # they are kept as ms_isolated_dispatch_incl but must not be summed). Each layer's
     # share of the MEASURED full forward is attributed by its roofline-model
     # time (max of FLOP-limit and HBM-limit from XLA's per-layer cost
     # analysis) — a physical weighting whose per-layer sum equals
@@ -185,7 +185,7 @@ def main():
         else:
             r["mfu_pct"] = r["hbm_pct"] = 0.0
 
-    sum_layer_ms = float(np.nansum([r["ms_isolated"] for r in rows]))
+    sum_layer_ms = float(np.nansum([r["ms_isolated_dispatch_incl"] for r in rows]))
     result = {
         "batch": b, "imgsz": args.imgsz, "cfg": args.cfg, "fused": bool(args.fused),
         "device": str(jax.devices()[0]),
@@ -197,7 +197,7 @@ def main():
         "full_fwd_hbm_pct": round(100 * by_full / t_full / peak_bw, 1),
         "nms_ms": round(t_nms * 1e3, 3),
         "imgs_per_sec_fwd_nms": round(b / (t_full + t_nms), 1),
-        "sum_isolated_layer_ms": round(sum_layer_ms, 2),
+        "sum_isolated_dispatch_incl_ms": round(sum_layer_ms, 2),
         "sum_model_ms": round(sum_model_ms, 2),
         "sum_attributed_ms": round(float(np.nansum([r["ms_attributed"] for r in rows])), 2),
         "model_gap": round(t_full * 1e3 / sum_model_ms, 2),
@@ -220,7 +220,7 @@ def main():
     t_full_ms = t_full * 1e3
     for r in rows:
         print(f"| {r['i']} | {r['module']} | {r['ms_attributed']} "
-              f"| {round(100 * r['ms_attributed'] / t_full_ms, 1)} | {r['ms_isolated']} "
+              f"| {round(100 * r['ms_attributed'] / t_full_ms, 1)} | {r['ms_isolated_dispatch_incl']} "
               f"| {r['gflops']} | {r['gbytes']} | {r['mfu_pct']} | {r['hbm_pct']} | {r['bound']} |")
     print(f"wrote {out}")
 
