@@ -107,6 +107,14 @@ def run(
         f"P {res['mp']:.4f}  R {res['mr']:.4f}  mAP50 {res['map50']:.4f}  mAP50-95 {res['map']:.4f}  "
         f"({res['seen']} images, {res['speed_ms']:.2f} ms/img, {res['fps']:.1f} FPS)"
     )
+    if save_json is not None:
+        # COCO-protocol mAP over the written records via the FIRST-PARTY
+        # evaluator (reference val.py:313-336 shells out to pycocotools and
+        # dies without it; eval/cocoeval.py needs nothing but numpy)
+        from ..eval.cocoeval import evaluate_json
+
+        print(f"COCO-protocol evaluation of {save_json} (first-party, eval/cocoeval.py):")
+        res["coco_stats"] = evaluate_json(save_json, dataset=res["dataset"])
     return res
 
 

@@ -222,6 +222,7 @@ def validate(
         "fps": 1000.0 / speed_ms if speed_ms else 0.0,
         "per_class": r,
         "confusion": confusion,
+        "dataset": ds,  # for GT-record building (cocoeval) without a rescan
     }
     if save_json is not None:
         import json as _json
