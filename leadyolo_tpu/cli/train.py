@@ -29,6 +29,9 @@ def parse_opt(argv=None):
     p.add_argument("--noval", action="store_true")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--resume", type=str, default=None)
+    p.add_argument("--weights", type=str, default=None,
+                   help="pretrained init from a .ckpt or reference .pt (finetune; "
+                   "optimizer/EMA restart fresh — use --resume for exact continuation)")
     p.add_argument("--fp32", action="store_true", help="disable bf16 compute")
     p.add_argument("--multichip", action="store_true", help="data-parallel over all local devices")
     p.add_argument("--freeze", type=int, nargs="+", default=[], help="freeze layer indices (reference train.py:138-144)")
@@ -71,6 +74,7 @@ def run_train(opt, hyp=None, save_dir=None, **overrides):
         noval=opt.noval,
         seed=opt.seed,
         resume=opt.resume,
+        weights=opt.weights,
         mesh=mesh,
         freeze=tuple(opt.freeze),
         multi_scale=opt.multi_scale,

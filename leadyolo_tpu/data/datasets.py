@@ -189,7 +189,12 @@ class YoloDataset:
         self.return_shapes = return_shapes
         self.log_fn = log_fn
         self.mosaic = augment and not rect and self.hyp.get("mosaic", 1.0) > 0
-        self.photometric = PhotometricAugment() if augment else None
+        # hyp-controlled probability; p=0 removes the stage entirely so it
+        # consumes NO rng draws (reproduces the pre-photometric recipe's
+        # downstream augment stream exactly — used by the r05 late-training
+        # A/B, runs/photometric_ab_r05/)
+        _p_pm = float(self.hyp.get("photometric_p", 0.01))
+        self.photometric = PhotometricAugment(_p_pm) if augment and _p_pm > 0 else None
         self.mosaic_border = [-img_size // 2, -img_size // 2]
         self.rng = random.Random(seed)
 
@@ -391,7 +396,8 @@ class YoloDataset:
             labels[:, 1:5] = self._xyxy2xywhn(labels[:, 1:5], img.shape[1], img.shape[0])
 
         if self.augment:
-            img, labels = self.photometric(img, labels, rng=self.rng)
+            if self.photometric is not None:
+                img, labels = self.photometric(img, labels, rng=self.rng)
             nl = len(labels)
             augment_hsv(
                 img, hyp.get("hsv_h", 0.015), hyp.get("hsv_s", 0.7), hyp.get("hsv_v", 0.4), rng=self.rng

@@ -13,13 +13,14 @@ static-shape formulation that jits and vmaps:
   sequential greedy order exactly.
 
 The batch-level entry point is *adaptive*: suppression cost is quadratic in
-the candidate count K, but at detect-time confidence thresholds (0.25) real
-images rarely have more than a few dozen candidates. A cheap on-device count
-picks between two statically-shaped paths with ``lax.cond`` — a K=256 path
-(suppression ~0.1 ms/batch-128 on v5e) and the full ``max_nms`` path
-(~5 ms) — at runtime. Both paths are exact: when every image has <= 256
-above-threshold candidates, the top-256 set contains *all* of them, so greedy
-over it equals greedy over the full candidate list.
+the candidate count K, but real images need far fewer candidates than the
+worst-case ``max_nms`` budget — a few dozen at detect thresholds (conf
+0.25), at most ~760 at val thresholds (conf 0.001, measured over SSDD val
+with trained weights). A cheap on-device count picks the smallest exact
+budget from a static ladder (256, 1024, max_nms) with ``lax.switch`` at
+runtime. Every path is exact: when every image has <= K above-threshold
+candidates, the top-K set contains *all* of them, so greedy over it equals
+greedy over the full candidate list.
 
 Outputs are padded to ``max_det`` with a validity mask — the TPU-native
 replacement for the reference's ragged per-image lists.
@@ -33,10 +34,14 @@ import jax.numpy as jnp
 
 from .boxes import xywh2xyxy
 
-# adaptive fast-path candidate budget: chosen so the (SMALL_K, SMALL_K)
-# suppression problem fits one tile (no cross-tile pass) and stays ~50x
-# cheaper than the 1024-candidate path on v5e.
-_SMALL_K = 256
+# adaptive fast-path candidate budgets, smallest first. 256 fits one
+# suppression tile (no cross-tile pass); 1024 exists because measured
+# val-threshold data never exceeds it (conf 0.001 on SSDD val: max 762
+# actives/image, p99 682 — tools/val_speed.py --probe), yet a batch of 32
+# almost always has SOME image above 256, so without the middle tier nearly
+# every val batch paid the full max_nms=4096 quadratic suppression (16x the
+# IoU-matrix work of 1024).
+_TIERS = (256, 1024)
 
 
 def _pairwise_iou(b1, b2, eps=1e-7):
@@ -241,15 +246,13 @@ def non_max_suppression(
             out_src = jnp.pad(out_src, ((0, 0), (0, pad)))
         return det, out_valid, out_src
 
-    if adaptive and min(max_nms, n_flat) > _SMALL_K:
-        # one cheap reduction decides the path; both branches are compiled
-        # once, only the taken one executes. Exactness: if every image has
-        # <= _SMALL_K candidates above threshold, top-_SMALL_K contains all
-        # of them and greedy over that set is greedy over everything.
+    tiers = [k for k in _TIERS if k < min(max_nms, n_flat)]
+    if adaptive and tiers:
+        # one cheap reduction picks the smallest exact budget; every branch
+        # is compiled once, only the taken one executes. Exactness: if every
+        # image has <= k candidates above threshold, top-k contains ALL of
+        # them and greedy over that set is greedy over everything.
         n_active_max = (score > conf_thres).sum(axis=-1).max()
-        return jax.lax.cond(
-            n_active_max <= _SMALL_K,
-            lambda: run_path(_SMALL_K),
-            lambda: run_path(max_nms),
-        )
+        idx = sum((n_active_max > k).astype(jnp.int32) for k in tiers)
+        return jax.lax.switch(idx, [lambda k=k: run_path(k) for k in tiers + [max_nms]])
     return run_path(max_nms)

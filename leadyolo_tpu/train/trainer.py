@@ -66,6 +66,7 @@ def train(
     workers: int = 8,
     process_workers: bool = False,
     save_dir="runs/train/exp",
+    weights=None,
     compute_dtype=jnp.bfloat16,
     cos_lr: bool = False,
     patience: int = 100,
@@ -97,6 +98,26 @@ def train(
 
     model = DetectionModel(cfg, nc=nc, img_size=img_size)
     variables = model.init(jax.random.PRNGKey(seed), img_size=img_size)
+
+    if weights:
+        # pretrained init (reference train.py:124-133 --weights finetune
+        # workflow): params+batch_stats come from the checkpoint — a stripped
+        # ckpt's EMA variables, a full train-state, or a reference .pt —
+        # while optimizer momentum and EMA restart fresh (use --resume for
+        # exact continuation). Same-architecture checkpoints only.
+        if str(weights).endswith(".pt"):
+            from ..utils.torch_convert import load_reference_checkpoint
+
+            variables, _wmeta, _ = load_reference_checkpoint(model, weights)
+        else:
+            _wstate, _wmeta = load_checkpoint(weights)
+            if isinstance(_wstate, dict) and "ema" in _wstate:
+                variables = _wstate["ema"]["variables"]
+            elif isinstance(_wstate, dict) and "params" in _wstate:
+                variables = {"params": _wstate["params"], "batch_stats": _wstate["batch_stats"]}
+            else:
+                variables = _wstate
+        log_fn(f"pretrained weights from {weights} (epoch {_wmeta.get('epoch', '?')})")
 
     if rect and multi_scale:
         raise ValueError("--rect and --multi-scale are mutually exclusive (reference train.py:230)")

@@ -167,3 +167,22 @@ def test_nms_adaptive_paths_agree(rng):
     full_d = non_max_suppression(pred_dense, 0.25, 0.45, max_det=50, max_nms=1024, adaptive=False)
     for a, bb in zip(fast_d, full_d):
         np.testing.assert_allclose(np.asarray(a), np.asarray(bb), rtol=1e-6, atol=1e-6)
+
+
+def test_nms_adaptive_middle_tier_exact(rng):
+    """The K=1024 middle tier (val-threshold regime: 256 < actives <= 1024
+    per image, the ladder added after tools/val_speed.py --probe measured
+    max 762 actives on SSDD val) must equal the forced max_nms=4096 path."""
+    b, n = 2, 8000
+    centers = rng.uniform(50, 600, size=(b, n, 2)).astype(np.float32)
+    wh = rng.uniform(10, 80, size=(b, n, 2)).astype(np.float32)
+    obj = np.full((b, n), 1e-4, np.float32)
+    for i in range(b):
+        hot = rng.choice(n, 700, replace=False)  # between the 256 and 1024 tiers
+        obj[i, hot] = rng.uniform(0.05, 1.0, size=700)
+    cls = np.ones((b, n, 1), np.float32)
+    pred = jnp.asarray(np.concatenate([centers, wh, obj[..., None], cls], axis=-1))
+    fast = non_max_suppression(pred, 0.001, 0.6, max_det=300, max_nms=4096, adaptive=True)
+    full = non_max_suppression(pred, 0.001, 0.6, max_det=300, max_nms=4096, adaptive=False)
+    for a, bb in zip(fast, full):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(bb), rtol=1e-6, atol=1e-6)
