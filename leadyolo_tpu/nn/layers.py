@@ -53,6 +53,14 @@ class Conv2d(nn.Module):
     g: int = 1
     d: int = 1
     use_bias: bool = False
+    g_dense: bool = False  # run a g=cin grouped conv as a masked-DENSE conv:
+    # XLA's grouped-conv gradients are the slowest ops in the train step
+    # (runs/input_wall/BWD_PROBE_r05.json: 6.4x bwd/fwd vs 1.5x for dense),
+    # while a dense conv whose kernel is the grouped kernel scattered into a
+    # block-diagonal (exact zeros elsewhere) is bit-identical (adding exact
+    # zeros is exact) and its backward is the healthy dense path. The extra
+    # FLOPs (x g) stay far under the MXU budget for these layers. Param shape
+    # and tree are unchanged — checkpoints are compatible both ways.
 
     @nn.compact
     def __call__(self, x):
@@ -62,7 +70,14 @@ class Conv2d(nn.Module):
         cin = x.shape[-1]
         w = self.param("kernel", torch_conv_kernel_init, (kh, kw, cin // self.g, self.features))
         pad = self.p if self.p is not None else autopad(self.k, None, self.d)
-        if isinstance(x, LazyConcat):
+        if self.g > 1 and self.g_dense:
+            if cin != self.g:
+                raise ValueError("g_dense supports channel-multiplier grouped convs (cin == g)")
+            co_group = jnp.arange(self.features) // (self.features // self.g)
+            mask = (jnp.arange(cin)[:, None] == co_group[None, :]).astype(w.dtype)
+            wd = w[:, :, 0, :][:, :, None, :] * mask[None, None]
+            y = conv2d(x, wd, self.s, pad, 1, self.d)
+        elif isinstance(x, LazyConcat):
             # conv(cat(parts)) == sum of convs with the kernel sliced along
             # cin — the concatenated tensor never hits HBM (see LazyConcat)
             y, off = None, 0

@@ -32,8 +32,18 @@ from .layers import BatchNorm, Conv2d
 def _generate_features(x, k, s, c, name_prefix, parent, train):
     """Grouped conv C->C*k^2 (+BN+ReLU) producing per-tap receptive-field
     features, reshaped to (B, H', W', C, k^2). Channel layout matches torch's
-    group-major view(b, c, k^2, h, w) (reference models/rfa.py:101-106,119)."""
-    y = Conv2d(c * k * k, k, s, k // 2, g=c, name=f"{name_prefix}_conv")(x)
+    group-major view(b, c, k^2, h, w) (reference models/rfa.py:101-106,119).
+
+    Train uses the masked-dense formulation (Conv2d.g_dense): XLA's
+    grouped-conv backward is 6.4x its forward on v5e while the bit-identical
+    block-diagonal dense conv's is 2.1x (BWD_PROBE_r05.json — the single
+    largest train-step cost found by the r05 backward attribution); eval
+    keeps the grouped kernel, whose forward is the faster of the two."""
+    from ..utils import dense_grad_enabled
+
+    y = Conv2d(c * k * k, k, s, k // 2, g=c,
+               g_dense=bool(train) and k > 1 and dense_grad_enabled(),
+               name=f"{name_prefix}_conv")(x)
     y = BatchNorm(name=f"{name_prefix}_bn")(y, train)
     y = jnp.maximum(y, 0)
     b, h, w, _ = y.shape

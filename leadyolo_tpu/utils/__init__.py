@@ -30,6 +30,31 @@ def set_fused_kernels(value):
     _FUSED_OVERRIDE = value
 
 
+# train-mode masked-dense grouped-conv gradients (nn/rfa.py generate conv).
+# Default OFF: the isolated-op probe predicted a win (BWD_PROBE_r05: grouped
+# bwd 6.4x fwd vs dense 2.1x) but the same-process full-step A/B measured
+# dense 14 ms SLOWER (DENSE_GRAD_AB_r05.json: 124.7 vs 110.7 ms/step) — the
+# whole backward already runs at ~100% of the HBM roofline and the dense
+# form's extra FLOPs don't hide there. Kept behind the flag as the record
+# of the investigated path (LEADYOLO_DENSE_GRAD=1 / set_dense_grad(True)).
+_DENSE_GRAD_OVERRIDE = None
+
+
+def dense_grad_enabled() -> bool:
+    if _DENSE_GRAD_OVERRIDE is not None:
+        return _DENSE_GRAD_OVERRIDE
+    env = os.environ.get("LEADYOLO_DENSE_GRAD")
+    if env is not None:
+        return env not in ("0", "false", "off")
+    return False
+
+
+def set_dense_grad(value):
+    """Force the masked-dense train conv on/off (None restores auto)."""
+    global _DENSE_GRAD_OVERRIDE
+    _DENSE_GRAD_OVERRIDE = value
+
+
 @contextlib.contextmanager
 def disable_fused_kernels():
     """Scoped opt-out (export / numerical-reference paths)."""

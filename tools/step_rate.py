@@ -32,6 +32,10 @@ def main():
     ap.add_argument("--iters", type=int, default=20)
     ap.add_argument("--max-targets", type=int, default=64)
     ap.add_argument("--tag", default="r04")
+    ap.add_argument("--dtype", default="bfloat16", choices=["bfloat16", "float32"],
+                    help="compute dtype; bfloat16 is what the trainer actually uses "
+                    "(trainer.py:69). The r04 artifact was accidentally measured at "
+                    "TrainConfig's float32 default — see STEP_ROOFLINE_r05.json")
     args = ap.parse_args()
 
     from leadyolo_tpu.models.yolo import DetectionModel
@@ -50,6 +54,7 @@ def main():
         epochs=300,
         steps_per_epoch=100,
         accumulate=1,
+        compute_dtype=jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32,
     )
     step = make_train_step(model, cfg, donate=False)
 
@@ -87,7 +92,7 @@ def main():
     imgs_per_sec = args.batch * args.iters / dt
     result = {
         "batch": args.batch, "imgsz": args.imgsz, "cfg": args.cfg, "iters": args.iters,
-        "device": str(jax.devices()[0]),
+        "dtype": args.dtype, "device": str(jax.devices()[0]),
         "ms_per_step": round(ms_per_step, 2),
         "imgs_per_sec_per_chip": round(imgs_per_sec, 1),
         "drain": drain,

@@ -153,14 +153,14 @@ def measure(args, compute_dtype):
     t_step = _time_loop(loop_step, (state, images, targets, tmask), it)
     print(f"  full step {t_step*1e3:.2f} ms", flush=True)
 
+    # each probe returns its FULL output pytree — returning only a scalar
+    # slice would let XLA dead-code-eliminate the very work being costed
+    # (the first run of this tool returned flops=0 for the grad row that way)
     im0 = images_np[0]
-    fl_f, by_f = _cost(lambda p, s, im: fwd_only(p, s, im)[0], params, stats, im0)
-    fl_l, by_l = _cost(lambda p, s, im, tg, tm: fwd_loss(p, s, im, tg, tm)[0],
-                       params, stats, im0, targets_np, tmask_np)
-    fl_g, by_g = _cost(lambda p, s, im, tg, tm: grad_fn(p, s, im, tg, tm)[0],
-                       params, stats, im0, targets_np, tmask_np)
-    fl_s, by_s = _cost(lambda st, im, tg, tm: step(st, im, tg, tm)[0].step,
-                       state, im0, targets_np, tmask_np)
+    fl_f, by_f = _cost(fwd_only, params, stats, im0)
+    fl_l, by_l = _cost(fwd_loss, params, stats, im0, targets_np, tmask_np)
+    fl_g, by_g = _cost(grad_fn, params, stats, im0, targets_np, tmask_np)
+    fl_s, by_s = _cost(step, state, im0, targets_np, tmask_np)
 
     comps = [
         {"component": "forward (train, BN stats)", "ms": round(t_fwd * 1e3, 2),
