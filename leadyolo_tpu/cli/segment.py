@@ -39,6 +39,7 @@ def train(
     max_targets: int = 64,
     mask_budget: int = 32,
     seed: int = 0,
+    val_every: int = 1,
     log_fn=print,
 ):
     save_dir = Path(save_dir)
@@ -82,17 +83,28 @@ def train(
             state, m = step(state, jnp.asarray(imgs), jnp.asarray(targets), jnp.asarray(tmask), jnp.asarray(maps))
             metrics.append(m)
         means = {k: float(np.mean([np.asarray(m[k]) for m in metrics])) for k in ("box", "obj", "seg")}
-        ema_vars = jax.tree.map(np.asarray, state.ema.variables)
-        res = validate_seg(
-            model, ema_vars, data_cfg["val"], img_size=img_size, batch_size=batch_size,
-            compute_dtype=compute_dtype, max_targets=max_targets, workers=workers,
-        )
-        fi = 0.1 * res["box"]["map50"] + 0.9 * res["box"]["map"]
-        log_fn(
-            f"epoch {epoch + 1}/{epochs}: box {means['box']:.4f} obj {means['obj']:.4f} "
-            f"seg {means['seg']:.4f} | box mAP50 {res['box']['map50']:.4f} "
-            f"mask mAP50 {res['mask']['map50']:.4f} | {time.time() - t0:.1f}s"
-        )
+        # per-epoch seg validation rebuilds a jit executable — minutes per
+        # epoch on remote-compile backends; --val-every N (like cli/train.py)
+        # keeps smoke runs epoch-bound instead of compile-bound
+        do_val = (epoch + 1) % max(val_every, 1) == 0 or epoch + 1 == epochs
+        if do_val:
+            ema_vars = jax.tree.map(np.asarray, state.ema.variables)
+            res = validate_seg(
+                model, ema_vars, data_cfg["val"], img_size=img_size, batch_size=batch_size,
+                compute_dtype=compute_dtype, max_targets=max_targets, workers=workers,
+            )
+            fi = 0.1 * res["box"]["map50"] + 0.9 * res["box"]["map"]
+            log_fn(
+                f"epoch {epoch + 1}/{epochs}: box {means['box']:.4f} obj {means['obj']:.4f} "
+                f"seg {means['seg']:.4f} | box mAP50 {res['box']['map50']:.4f} "
+                f"mask mAP50 {res['mask']['map50']:.4f} | {time.time() - t0:.1f}s"
+            )
+        else:
+            fi = -1.0
+            log_fn(
+                f"epoch {epoch + 1}/{epochs}: box {means['box']:.4f} obj {means['obj']:.4f} "
+                f"seg {means['seg']:.4f} | {time.time() - t0:.1f}s"
+            )
         meta = {"epoch": epoch, "cfg": str(cfg), "nc": nc}
         save_checkpoint(save_dir / "last.ckpt", jax.device_get(state), meta)
         if fi >= best:
@@ -124,9 +136,12 @@ def main():
     p.add_argument("--batch-size", type=int, default=16)
     p.add_argument("--imgsz", type=int, default=640)
     p.add_argument("--save-dir", default="runs/train-seg/exp")
+    p.add_argument("--val-every", type=int, default=1,
+                   help="validate every N epochs (always on the last)")
     a = p.parse_args()
     if a.task == "train":
-        train(a.cfg, a.data, epochs=a.epochs, batch_size=a.batch_size, img_size=a.imgsz, save_dir=a.save_dir)
+        train(a.cfg, a.data, epochs=a.epochs, batch_size=a.batch_size, img_size=a.imgsz,
+              save_dir=a.save_dir, val_every=a.val_every)
     else:
         val(a.weights, a.data, a.cfg, a.imgsz, a.batch_size)
 
